@@ -1,0 +1,127 @@
+"""ORB feature extraction pipeline: pyramid -> FAST -> orientation -> rBRIEF.
+
+The TPU-native `ORBextractor::operator()` + mono `Frame` construction
+(`orb_slam3/src/ORBextractor.cc:876`, `orb_slam3/src/Frame.cc:371,481,508`):
+one jitted function maps a grayscale image to a fixed-capacity `Frame` of
+keypoints + unpacked binary descriptors. Everything is static-shape; invalid
+slots carry `valid=False` masks instead of ragged lists.
+
+The reference's 64x48 feature grid (`Frame::AssignFeaturesToGrid`) is
+deliberately NOT rebuilt: window-constrained matching on TPU is a masked
+dense distance matrix (see ops/matching.py), which the MXU evaluates faster
+than pointer-chasing grid buckets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import fast, orb_descriptor, pyramid
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Static extraction parameters (hashable -> usable as jit static arg).
+
+    Defaults follow `configs/euroc.yaml:49-62` of the reference:
+    1000-1250 features, 8 levels x1.2, FAST thresholds 20 -> 7.
+    """
+
+    height: int
+    width: int
+    n_features: int = 1250
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    ini_th: float = 20.0
+    min_th: float = 7.0
+    cell: int = 35
+
+    @property
+    def scales(self):
+        return tuple(pyramid.level_scales(self.n_levels, self.scale_factor))
+
+    @property
+    def level_budgets(self):
+        """Features per level, geometric in 1/scale (ORBextractor ctor
+        semantics), padded so they sum to capacity()."""
+        f = 1.0 / self.scale_factor
+        n = self.n_features
+        raw = [n * (1 - f) / (1 - f ** self.n_levels) * (f ** i) for i in range(self.n_levels)]
+        budgets = [max(8, int(round(r))) for r in raw]
+        return tuple(budgets)
+
+    @property
+    def capacity(self):
+        return sum(self.level_budgets)
+
+    @property
+    def sigma2(self):
+        """Per-level variance of keypoint position, `mvLevelSigma2`."""
+        return tuple(s * s for s in self.scales)
+
+
+class Frame(NamedTuple):
+    """Fixed-capacity feature set of one image. All arrays have leading dim
+    F = config.capacity; invalid slots are masked."""
+
+    xy: jnp.ndarray        # [F,2] float32 undistorted keypoints, level-0 px
+    xy_raw: jnp.ndarray    # [F,2] float32 raw (distorted) keypoints, level-0 px
+    level: jnp.ndarray     # [F] int32 pyramid level
+    angle: jnp.ndarray     # [F] float32 orientation (radians)
+    response: jnp.ndarray  # [F] float32 FAST score
+    desc: jnp.ndarray      # [F,256] uint8 bits in {0,1}
+    valid: jnp.ndarray     # [F] bool
+
+    @property
+    def capacity(self):
+        return self.xy.shape[-2]
+
+
+@partial(jax.jit, static_argnames=("config",))
+def extract(img, config: FrontendConfig):
+    """Grayscale [H,W] float32 (0..255) -> Frame (keypoints in RAW px;
+    undistortion is applied by `make_frame` with camera params)."""
+    levels = pyramid.build_pyramid(img, config.n_levels, config.scale_factor)
+    budgets = config.level_budgets
+    scales = config.scales
+
+    all_xy, all_lv, all_ang, all_resp, all_desc, all_valid = [], [], [], [], [], []
+    for lv, (im, budget, s) in enumerate(zip(levels, budgets, scales)):
+        xy, score, valid = fast.detect_level(
+            im, config.ini_th, config.min_th, config.cell, budget
+        )
+        ang = orb_descriptor.orientations(im, xy)
+        blur = pyramid.gaussian_blur(im)
+        desc = orb_descriptor.descriptors(blur, xy, ang)
+        all_xy.append(xy * s)  # back to level-0 pixel coordinates
+        all_lv.append(jnp.full((budget,), lv, jnp.int32))
+        all_ang.append(ang)
+        all_resp.append(score)
+        all_desc.append(desc)
+        all_valid.append(valid)
+
+    return Frame(
+        xy=jnp.concatenate(all_xy),
+        xy_raw=jnp.concatenate(all_xy),
+        level=jnp.concatenate(all_lv),
+        angle=jnp.concatenate(all_ang),
+        response=jnp.concatenate(all_resp),
+        desc=jnp.concatenate(all_desc),
+        valid=jnp.concatenate(all_valid),
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def make_frame(img, K, dist, config: FrontendConfig):
+    """Full mono frame construction (`Frame.cc:371`): extract + undistort."""
+    from ..geometry import cameras
+
+    f = extract(img, config)
+    xy_un = cameras.undistort_pixels(K, dist, f.xy_raw)
+    return f._replace(xy=jnp.where(f.valid[:, None], xy_un, f.xy_raw))

@@ -1,0 +1,70 @@
+"""Image pyramid + separable Gaussian blur (XLA convolutions).
+
+Replaces `ORBextractor::ComputePyramid` (`orb_slam3/src/ORBextractor.cc:957`)
+and the pre-descriptor `cv::GaussianBlur(7x7, sigma=2)` of
+`ORBextractor::operator()` (`ORBextractor.cc:876`). All shapes are static
+(computed from the config at trace time) so each level compiles once.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def level_scales(n_levels: int, scale_factor: float):
+    """Per-level scale factors (level 0 = 1.0), like `mvScaleFactor`."""
+    return [scale_factor ** i for i in range(n_levels)]
+
+
+def level_shapes(h: int, w: int, n_levels: int, scale_factor: float):
+    """Static (h, w) of each pyramid level, matching `ComputePyramid`'s
+    `cvRound(W/scale)` sizing."""
+    return [
+        (int(round(h / s)), int(round(w / s)))
+        for s in level_scales(n_levels, scale_factor)
+    ]
+
+
+def build_pyramid(img, n_levels: int, scale_factor: float):
+    """Grayscale image [H,W] float32 -> list of n_levels arrays.
+
+    Each level is resized from the previous one with bilinear interpolation
+    (the reference uses cv::resize INTER_LINEAR, `ORBextractor.cc:969`).
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    shapes = level_shapes(h, w, n_levels, scale_factor)
+    levels = [img]
+    for lv in range(1, n_levels):
+        prev = levels[-1]
+        levels.append(
+            jax.image.resize(prev, prev.shape[:-2] + shapes[lv], method="linear")
+        )
+    return levels
+
+
+def _gaussian_kernel1d(ksize: int, sigma: float):
+    r = ksize // 2
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("ksize", "sigma"))
+def gaussian_blur(img, ksize: int = 7, sigma: float = 2.0):
+    """Separable Gaussian blur with replicate padding, [...,H,W]."""
+    k = jnp.asarray(_gaussian_kernel1d(ksize, sigma))
+    r = ksize // 2
+    lead = img.shape[:-2]
+    x = img.reshape((-1, 1) + img.shape[-2:])  # [N,1,H,W]
+    x = jnp.pad(x, ((0, 0), (0, 0), (r, r), (r, r)), mode="edge")
+    kh = k.reshape(1, 1, ksize, 1)
+    kw = k.reshape(1, 1, 1, ksize)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID", dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID", dimension_numbers=dn)
+    return x.reshape(lead + x.shape[-2:])
