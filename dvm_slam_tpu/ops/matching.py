@@ -1,0 +1,175 @@
+"""Binary descriptor matching as int8 popcount matmuls on the MXU.
+
+TPU-native replacement for the whole `ORBmatcher` family
+(`orb_slam3/src/ORBmatcher.cc`): instead of grid-bucketed candidate lists and
+per-keypoint loops, every search computes a dense [N,M] Hamming matrix on the
+MXU and applies the geometric window / level / epipolar constraints as masks.
+A 1250x1250 int8 matmul is ~0.4 GFLOP — far below one MXU's per-frame budget,
+so "brute force + mask" dominates any pointer-chasing scheme on this hardware.
+
+Hamming trick: with descriptors unpacked to {0,1} int8,
+  common(a,b) = a . b          (MXU int8 matmul, int32 accumulate)
+  ham(a,b)    = pop(a) + pop(b) - 2 . common(a,b)
+
+Reference behavioral constants reproduced here (`ORBmatcher.cc:36-38`):
+TH_LOW = 50, TH_HIGH = 100, rotation-consistency histogram = 30 bins / top-3.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TH_LOW = 50
+TH_HIGH = 100
+HISTO_BINS = 30
+
+_BIG = jnp.int32(1 << 20)
+
+
+def hamming_matrix(desc_a, desc_b):
+    """[N,256]x[M,256] {0,1} uint8 -> [N,M] int32 Hamming distances."""
+    a = desc_a.astype(jnp.int8)
+    b = desc_b.astype(jnp.int8)
+    common = jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    pop_a = jnp.sum(a.astype(jnp.int32), axis=-1)
+    pop_b = jnp.sum(b.astype(jnp.int32), axis=-1)
+    return pop_a[:, None] + pop_b[None, :] - 2 * common
+
+
+def masked_best_match(dist, mask, max_dist: int, ratio: float | None = None):
+    """Row-wise best match under a validity mask.
+
+    Args:
+      dist: [N,M] distances; mask: [N,M] bool allowed pairs.
+      max_dist: absolute acceptance threshold (TH_LOW / TH_HIGH).
+      ratio: optional Lowe ratio — best < ratio * second_best.
+    Returns (idx [N] int32, best_dist [N] int32, ok [N] bool). idx is -1 when
+    not ok.
+    """
+    d = jnp.where(mask, dist, _BIG)
+    idx = jnp.argmin(d, axis=-1)
+    best = jnp.take_along_axis(d, idx[:, None], axis=-1)[:, 0]
+    ok = best <= max_dist
+    if ratio is not None:
+        d2 = jnp.where(
+            jax.nn.one_hot(idx, d.shape[-1], dtype=bool), _BIG, d
+        )
+        second = jnp.min(d2, axis=-1)
+        ok = ok & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+    return jnp.where(ok, idx, -1), best, ok
+
+
+def mutual_filter(idx_ab, idx_ba):
+    """Keep matches where argmin is mutual: idx_ba[idx_ab[i]] == i."""
+    n = idx_ab.shape[0]
+    back = jnp.where(idx_ab >= 0, idx_ba[jnp.clip(idx_ab, 0)], -2)
+    ok = back == jnp.arange(n)
+    return jnp.where(ok, idx_ab, -1), ok
+
+
+def rotation_consistency(angle_a, angle_b, idx, ok):
+    """Keep only matches whose angle difference falls in the top-3 of a
+    30-bin orientation histogram (`ORBmatcher::ComputeThreeMaxima` semantics,
+    `ORBmatcher.cc:1862`). Returns filtered ok mask."""
+    diff = angle_a - angle_b[jnp.clip(idx, 0)]
+    # wrap to [0, 2pi)
+    two_pi = 2.0 * jnp.pi
+    diff = jnp.mod(diff, two_pi)
+    bin_idx = jnp.clip((diff * (HISTO_BINS / two_pi)).astype(jnp.int32), 0, HISTO_BINS - 1)
+    hist = jnp.zeros((HISTO_BINS,), jnp.int32).at[bin_idx].add(ok.astype(jnp.int32))
+    top3 = jax.lax.top_k(hist, 3)[0]
+    # keep the 3 fullest bins; bins 2/3 only if >= 0.1x the max bin
+    # (reference drops ind2/ind3 when below 0.1*max1)
+    keep_bins = (hist >= jnp.maximum(top3[2], 1)) & (
+        hist.astype(jnp.float32) >= 0.1 * top3[0].astype(jnp.float32)
+    )
+    return ok & keep_bins[bin_idx]
+
+
+@jax.jit
+def search_for_initialization(f1_xy, f1_desc, f1_angle, f1_valid,
+                              f2_xy, f2_desc, f2_angle, f2_valid,
+                              window: float = 100.0):
+    """Match initial-frame keypoints to a second frame within a pixel window
+    (`ORBmatcher::SearchForInitialization`, `ORBmatcher.cc:605`): window
+    search, TH_LOW, Lowe ratio 0.9, mutual-best, rotation consistency.
+
+    Returns (idx [N] into frame2, ok [N]).
+    """
+    dist = hamming_matrix(f1_desc, f2_desc)
+    d2 = jnp.sum((f1_xy[:, None, :] - f2_xy[None, :, :]) ** 2, axis=-1)
+    mask = (
+        (d2 <= window * window)
+        & f1_valid[:, None]
+        & f2_valid[None, :]
+    )
+    idx_ab, _, ok_ab = masked_best_match(dist, mask, TH_LOW, ratio=0.9)
+    idx_ba, _, _ = masked_best_match(dist.T, mask.T, TH_LOW)
+    idx, ok = mutual_filter(jnp.where(ok_ab, idx_ab, -1), idx_ba)
+    ok = ok & ok_ab
+    ok = rotation_consistency(f1_angle, f2_angle, idx, ok)
+    return jnp.where(ok, idx, -1), ok
+
+
+@partial(jax.jit, static_argnames=())
+def search_by_projection(proj_xy, proj_valid, proj_desc, proj_level,
+                         f_xy, f_desc, f_level, f_valid,
+                         radii, max_dist: int = TH_HIGH,
+                         level_window: int = 1,
+                         ratio: float | None = None):
+    """Project-and-match: for each projected map point (row), find the best
+    frame keypoint (column) within `radii[i]` pixels and +/-`level_window`
+    octaves of the predicted level.
+
+    Covers the `SearchByProjection` overloads (frame-frame `ORBmatcher.cc:1553`
+    and frame-localmap `:44`); the caller supplies the projections, predicted
+    levels and per-point radii.
+
+    Returns (idx [P] into frame, dist [P], ok [P]).
+    """
+    dist = hamming_matrix(proj_desc, f_desc)
+    d2 = jnp.sum((proj_xy[:, None, :] - f_xy[None, :, :]) ** 2, axis=-1)
+    lvl_ok = jnp.abs(f_level[None, :] - proj_level[:, None]) <= level_window
+    mask = (
+        (d2 <= (radii[:, None]) ** 2)
+        & lvl_ok
+        & proj_valid[:, None]
+        & f_valid[None, :]
+    )
+    idx, best, ok = masked_best_match(dist, mask, max_dist, ratio=ratio)
+    return idx, best, ok
+
+
+def dedupe_matches(idx, ok, n_cols: int):
+    """Resolve many-to-one matches: if several rows matched the same column,
+    keep only the first (lowest row index). Returns filtered ok mask."""
+    rows = jnp.arange(idx.shape[0])
+    col = jnp.where(ok, idx, n_cols)
+    first_row = jnp.full((n_cols + 1,), idx.shape[0], jnp.int32).at[col].min(rows.astype(jnp.int32))
+    keep = first_row[col] == rows
+    return ok & keep
+
+
+@jax.jit
+def epipolar_mask(xn1, xn2, E12, sigma2_lv2, th: float = 3.84):
+    """Pairwise epipolar-band mask for triangulation search
+    (`ORBmatcher::SearchForTriangulation`, `ORBmatcher.cc:836`).
+
+    xn1 [N,3], xn2 [M,3]: normalized bearings (z=1); E12: essential matrix
+    mapping frame-1 bearings to epipolar lines in frame 2; sigma2_lv2 [M]:
+    per-keypoint level variance in *normalized* units. True where kp2 lies
+    within the chi2 band of kp1's epipolar line.
+    """
+    lines = xn1 @ E12.T  # [N,3] lines in image 2
+    num = jnp.abs(jnp.einsum("nk,mk->nm", lines, xn2))
+    den2 = lines[:, 0] ** 2 + lines[:, 1] ** 2
+    d2 = num * num / jnp.maximum(den2[:, None], 1e-12)
+    return d2 < th * sigma2_lv2[None, :]
