@@ -1,0 +1,334 @@
+"""Per-frame monocular tracking.
+
+TPU-native `Tracking` (`orb_slam3/src/Tracking.cc`): the per-frame hot path is
+ONE jitted program (`track_frame`) — project map points at the predicted pose,
+masked MXU descriptor matching, pose-only optimization, then a second
+tighter-radius pass (the reference's TrackWithMotionModel -> TrackLocalMap
+two-stage refinement, `Tracking.cc:2584,2668`). The state machine
+(NOT_INITIALIZED / OK / RECENTLY_LOST / LOST, `Tracking.cc:1620+`) and the
+keyframe decision (`NeedNewKeyFrame`, `Tracking.cc:2770`) stay on the host.
+
+Deviation by design: the reference matches stage 1 against the *last frame*'s
+points and stage 2 against a covisibility-selected "local map" (a CPU-cache
+economy). Here both stages project against the full point table — frustum,
+distance-range and viewing-angle gates (`Frame::isInFrustum`) reduce it to
+the same effective candidate set, and an MXU-sized matmul makes the full
+table cheaper than building subsets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..frontend.extractor import Frame, FrontendConfig, make_frame
+from ..geometry import cameras, lie, two_view
+from ..mapping import map_state
+from ..ops import matching
+from . import pose_opt
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    frontend: FrontendConfig
+    kf_cap: int = 512
+    pt_cap: int = 8192
+    fps: float = 20.0
+    min_init_matches: int = 100   # Tracking.cc:2253
+    min_track_inliers: int = 15   # lost below this
+    kf_ref_ratio: float = 0.9     # Tracking.cc:2849 thRefRatio mono
+    kf_min_inliers: int = 15
+
+    @property
+    def max_frames_between_kf(self):
+        return int(self.fps)
+
+
+class TrackResult(NamedTuple):
+    T_cw: jnp.ndarray      # [7] refined pose
+    obs: jnp.ndarray       # [F] int32 point slot per frame feature (-1 none)
+    n_inliers: jnp.ndarray  # [] int32
+    n_stage1: jnp.ndarray   # [] int32
+    visible: jnp.ndarray    # [P] bool points projected into the frustum
+    found: jnp.ndarray      # [P] bool points matched as inliers
+
+
+@partial(jax.jit, static_argnames=("config",))
+def project_points(m: map_state.MapState, T_cw, K, config: TrackerConfig):
+    """Frustum + scale-range + viewing-angle gating of all map points
+    (`Frame::isInFrustum` semantics, `Frame.cc:575`).
+
+    Returns (uv [P,2], vis [P] bool, level [P] i32, view_cos [P])."""
+    fc = config.frontend
+    pc = jax.vmap(lambda X: lie.se3_apply(T_cw, X))(m.pt_pos)
+    uv, front = cameras.pinhole_project(K, pc)
+    in_img = (
+        (uv[:, 0] >= 0) & (uv[:, 0] < fc.width) & (uv[:, 1] >= 0) & (uv[:, 1] < fc.height)
+    )
+    center = lie.se3_t(lie.se3_inv(T_cw))
+    rel = m.pt_pos - center[None, :]
+    dist = jnp.linalg.norm(rel, axis=-1)
+    in_range = (dist >= 0.8 * m.pt_min_dist) & (dist <= 1.2 * m.pt_max_dist)
+    view_cos = jnp.sum(rel * m.pt_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    level = map_state.predict_scale(dist, m.pt_max_dist, fc.n_levels, fc.scale_factor)
+    vis = m.pt_valid & front & in_img & in_range & (view_cos > 0.5)
+    return uv, vis, level, view_cos
+
+
+def _match_and_assign(m, uv, vis, level, radii, frame: Frame, max_dist, ratio):
+    """Match projected points (rows) to frame features, dedupe to 1-1.
+    Returns per-point (feat_idx, ok)."""
+    idx, dist, ok = matching.search_by_projection(
+        uv, vis, m.pt_desc, level,
+        frame.xy, frame.desc, frame.level, frame.valid,
+        radii, max_dist=max_dist, ratio=ratio,
+    )
+    ok = matching.dedupe_matches(idx, ok, frame.capacity)
+    return jnp.where(ok, idx, -1), ok
+
+
+@partial(jax.jit, static_argnames=("config",))
+def track_frame(m: map_state.MapState, frame: Frame, T_pred, K, config: TrackerConfig):
+    """Two-stage match + pose-only BA. Returns TrackResult."""
+    fc = config.frontend
+    scales = jnp.asarray(fc.scales, m.pt_pos.dtype)
+    sigma2 = jnp.asarray(fc.sigma2, m.pt_pos.dtype)
+
+    # ---- stage 1: wide search at predicted pose (TrackWithMotionModel) ----
+    uv, vis, level, view_cos = project_points(m, T_pred, K, config)
+    radii1 = 15.0 * scales[level]
+    feat1, ok1 = _match_and_assign(m, uv, vis, level, radii1, frame, matching.TH_HIGH, 0.9)
+    f1 = jnp.clip(feat1, 0)
+    obs_uv = frame.xy[f1]
+    obs_sig = sigma2[frame.level[f1]]
+    T1, inl1, _ = pose_opt.pose_optimization(T_pred, m.pt_pos, obs_uv, obs_sig, ok1, K)
+    n1 = jnp.sum(inl1)
+
+    # ---- stage 2: tight search at refined pose (TrackLocalMap) ----
+    uv2, vis2, level2, view_cos2 = project_points(m, T1, K, config)
+    base_r = jnp.where(view_cos2 > 0.998, 2.5, 4.0)
+    radii2 = base_r * scales[level2]
+    feat2, ok2 = _match_and_assign(m, uv2, vis2, level2, radii2, frame, matching.TH_HIGH, 0.8)
+    # keep stage-1 inlier associations where stage 2 found nothing
+    feat = jnp.where(ok2, feat2, jnp.where(inl1, feat1, -1))
+    okc = feat >= 0
+    okc = matching.dedupe_matches(feat, okc, frame.capacity)
+    fc2 = jnp.clip(feat, 0)
+    T2, inl2, _ = pose_opt.pose_optimization(
+        T1, m.pt_pos, frame.xy[fc2], sigma2[frame.level[fc2]], okc, K
+    )
+    n2 = jnp.sum(inl2)
+
+    # invert point->feature into feature->point
+    P = m.pt_capacity
+    final_ok = inl2
+    fsel = jnp.where(final_ok, fc2, frame.capacity)
+    obs = jnp.full((frame.capacity + 1,), -1, jnp.int32).at[fsel].set(
+        jnp.arange(P, dtype=jnp.int32)
+    )[: frame.capacity]
+
+    return TrackResult(
+        T_cw=T2, obs=obs, n_inliers=n2, n_stage1=n1,
+        visible=vis2, found=final_ok,
+    )
+
+
+@jax.jit
+def update_visibility(m: map_state.MapState, visible, found):
+    """`MapPoint::IncreaseVisible/IncreaseFound` counters for culling."""
+    return m._replace(
+        pt_visible=m.pt_visible + visible.astype(jnp.int32),
+        pt_found=m.pt_found + found.astype(jnp.int32),
+    )
+
+
+# --------------------------------------------------------------------------
+# host-side tracker (the "Tracking thread")
+# --------------------------------------------------------------------------
+
+NOT_INITIALIZED = "NOT_INITIALIZED"
+OK = "OK"
+RECENTLY_LOST = "RECENTLY_LOST"
+LOST = "LOST"
+
+
+class MonocularTracker:
+    """Host state machine wrapping the jitted tracking step.
+
+    Mirrors `Tracking::Track` (`Tracking.cc:1620`) minus IMU and stereo:
+    monocular initialization via two-view reconstruction, motion-model
+    prediction, lost handling, keyframe decision.
+    """
+
+    def __init__(self, config: TrackerConfig, K, dist, local_mapper=None, rng_seed=0):
+        self.config = config
+        self.K = jnp.asarray(K, jnp.float32)
+        self.dist = jnp.asarray(dist, jnp.float32)
+        self.map = map_state.create(config.kf_cap, config.pt_cap, config.frontend.capacity)
+        self.meta = map_state.MapMeta.create(config.kf_cap, config.pt_cap, agent_id=0)
+        self.state = NOT_INITIALIZED
+        self.velocity = lie.se3_identity()
+        self.last_pose = lie.se3_identity()
+        self.init_frame = None
+        self.frames_since_kf = 0
+        self.ref_kf_tracked = 0
+        self.last_kf_slot = -1
+        self.local_mapper = local_mapper
+        self.n_frames = 0
+        self.key = jax.random.PRNGKey(rng_seed)
+        self.trajectory = []  # (timestamp, T_cw np[7], state)
+
+    # -- public API ---------------------------------------------------------
+
+    def process_image(self, img, timestamp: float):
+        """`System::TrackMonocular` equivalent: grayscale [H,W] float32 in,
+        camera pose out (None until initialized)."""
+        frame = make_frame(jnp.asarray(img, jnp.float32), self.K, self.dist,
+                           self.config.frontend)
+        return self.process_frame(frame, timestamp)
+
+    def process_frame(self, frame: Frame, timestamp: float):
+        self.n_frames += 1
+        if self.state == NOT_INITIALIZED:
+            pose = self._try_initialize(frame)
+        else:
+            pose = self._track(frame, timestamp)
+        if pose is not None:
+            self.trajectory.append((timestamp, np.asarray(pose), self.state))
+        return pose
+
+    # -- initialization -----------------------------------------------------
+
+    def _try_initialize(self, frame: Frame):
+        if self.init_frame is None or int(frame.valid.sum()) <= self.config.min_init_matches:
+            if int(frame.valid.sum()) > self.config.min_init_matches:
+                self.init_frame = frame
+            return None
+        f1, f2 = self.init_frame, frame
+        idx, ok = matching.search_for_initialization(
+            f1.xy, f1.desc, f1.angle, f1.valid,
+            f2.xy, f2.desc, f2.angle, f2.valid,
+        )
+        n_matches = int(ok.sum())
+        if n_matches < self.config.min_init_matches:
+            # reference resets the initializer when matches are too few
+            self.init_frame = frame
+            return None
+
+        xn1 = cameras.pinhole_unproject(self.K, f1.xy)
+        xn2 = cameras.pinhole_unproject(self.K, f2.xy[jnp.clip(idx, 0)])
+        self.key, sub = jax.random.split(self.key)
+        res = two_view.reconstruct_two_views(
+            sub, xn1, xn2, ok, focal=self.K[0],
+            min_triangulated=50,
+        )
+        if not bool(res.ok):
+            return None
+        self._create_initial_map(f1, f2, idx, res)
+        self.state = OK
+        return self.last_pose
+
+    def _create_initial_map(self, f1: Frame, f2: Frame, idx, res: two_view.TwoViewResult):
+        """`Tracking::CreateInitialMapMonocular` (`Tracking.cc:2279`): two
+        keyframes, triangulated points, median-depth scale normalization."""
+        good = np.asarray(res.good)
+        pts = np.asarray(res.points)
+        depths = pts[good, 2]
+        med = float(np.median(depths)) if good.any() else 1.0
+        pts = pts / med
+        T21 = np.array(res.T21)
+        T21[4:7] /= med
+        T1 = lie.se3_identity()
+        T2 = jnp.asarray(T21)
+
+        Fcap = f1.capacity
+        # point slots assigned in feature order of frame 1
+        m = self.map
+        n = Fcap
+        gmask = jnp.asarray(good)
+        m, slots = map_state.add_points(
+            m,
+            pos=jnp.asarray(pts),
+            desc=f1.desc,
+            normal=jnp.zeros((n, 3), jnp.float32),
+            min_dist=jnp.zeros((n,), jnp.float32),
+            max_dist=jnp.full((n,), 1e9, jnp.float32),
+            ref_kf=jnp.int32(0),
+            valid=gmask,
+        )
+        obs1 = jnp.where(gmask, slots, -1)
+        # frame2 feature j = idx[i] observes the same slot
+        idx_np = jnp.clip(idx, 0)
+        obs2 = jnp.full((Fcap,), -1, jnp.int32).at[idx_np].set(
+            jnp.where(gmask & (idx >= 0), slots, -1)
+        )
+        m, s1 = map_state.add_keyframe(m, T1, f1.xy, f1.level, f1.angle, f1.desc, f1.valid, obs1)
+        m, s2 = map_state.add_keyframe(m, T2, f2.xy, f2.level, f2.angle, f2.desc, f2.valid, obs2)
+        m = map_state.update_point_stats(
+            m, self.config.frontend.n_levels, self.config.frontend.scale_factor
+        )
+        self.map = m
+        self.meta.kf_uuid[0:2] = self.meta.new_uuids(2)
+        self.meta.kf_creator[0:2] = self.meta.agent_id
+        npts = int(m.n_pt)
+        self.meta.pt_uuid[:npts] = self.meta.new_uuids(npts)
+        self.meta.pt_creator[:npts] = self.meta.agent_id
+
+        self.last_pose = T2
+        self.velocity = lie.se3_identity()
+        self.last_kf_slot = 1
+        self.ref_kf_tracked = int(gmask.sum())
+        self.frames_since_kf = 0
+        if self.local_mapper is not None:
+            self.local_mapper.on_initial_map(self)
+
+    # -- steady-state tracking ----------------------------------------------
+
+    def _track(self, frame: Frame, timestamp: float):
+        T_pred = lie.se3_mul(self.velocity, self.last_pose)
+        res = track_frame(self.map, frame, T_pred, self.K, self.config)
+        n_inl = int(res.n_inliers)
+
+        if n_inl < self.config.min_track_inliers:
+            self.state = RECENTLY_LOST if self.state == OK else LOST
+            self.velocity = lie.se3_identity()
+            return None
+
+        self.state = OK
+        self.map = update_visibility(self.map, res.visible, res.found)
+        self.velocity = lie.se3_mul(res.T_cw, lie.se3_inv(self.last_pose))
+        self.last_pose = res.T_cw
+        self.frames_since_kf += 1
+
+        if self._need_new_keyframe(n_inl):
+            self._create_keyframe(frame, res)
+        return res.T_cw
+
+    def _need_new_keyframe(self, n_inliers: int):
+        """`Tracking::NeedNewKeyFrame` mono gates (`Tracking.cc:2770`)."""
+        if self.map.n_kf >= self.config.kf_cap - 1:
+            return False
+        c1 = self.frames_since_kf >= self.config.max_frames_between_kf
+        c2 = n_inliers < self.config.kf_ref_ratio * max(self.ref_kf_tracked, 1)
+        c3 = n_inliers > self.config.kf_min_inliers
+        return (c1 or c2) and c3
+
+    def _create_keyframe(self, frame: Frame, res: TrackResult):
+        m, slot = map_state.add_keyframe(
+            self.map, res.T_cw, frame.xy, frame.level, frame.angle,
+            frame.desc, frame.valid, res.obs,
+        )
+        self.map = m
+        s = int(slot)
+        self.meta.kf_uuid[s] = self.meta.new_uuids(1)[0]
+        self.meta.kf_creator[s] = self.meta.agent_id
+        self.last_kf_slot = s
+        self.frames_since_kf = 0
+        self.ref_kf_tracked = int(res.n_inliers)
+        if self.local_mapper is not None:
+            self.local_mapper.on_new_keyframe(self, s)

@@ -1,0 +1,115 @@
+"""Pose optimization + end-to-end single-agent tracking on the synthetic
+textured-plane world (the M4 minimum slice)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dvm_slam_tpu.geometry import lie, cameras
+from dvm_slam_tpu.tracking import pose_opt, tracker
+from dvm_slam_tpu.frontend.extractor import FrontendConfig
+from dvm_slam_tpu.io import synthetic
+from dvm_slam_tpu.eval import metrics
+
+
+class TestPoseOpt:
+    K = jnp.array([300.0, 300.0, 160.0, 120.0])
+
+    def _problem(self, rng, n=200, noise=0.3):
+        X = rng.randn(n, 3).astype(np.float32)
+        X[:, 2] = X[:, 2] * 1.5 + 8.0
+        T_true = lie.se3(lie.so3_exp(jnp.array([0.05, -0.1, 0.02])), jnp.array([0.3, -0.2, 0.1]))
+        pc = lie.se3_apply(T_true[None], jnp.asarray(X))
+        uv, _ = cameras.pinhole_project(self.K, pc)
+        uv = uv + rng.randn(n, 2).astype(np.float32) * noise
+        return jnp.asarray(X), uv, T_true
+
+    def test_recovers_pose(self, rng):
+        X, uv, T_true = self._problem(rng)
+        sigma2 = jnp.ones(X.shape[0])
+        T0 = lie.se3_retract(T_true, jnp.array([0.2, -0.1, 0.15, 0.03, 0.05, -0.04]))
+        T, inl, chi2 = pose_opt.pose_optimization(T0, X, uv, sigma2, jnp.ones(X.shape[0], bool), self.K)
+        assert int(inl.sum()) > 180
+        dt = np.linalg.norm(np.asarray(lie.se3_t(T)) - np.asarray(lie.se3_t(T_true)))
+        assert dt < 1e-2  # 0.3 px noise floor
+
+    def test_exact_recovery_no_noise(self, rng):
+        X, uv, T_true = self._problem(rng, noise=0.0)
+        sigma2 = jnp.ones(X.shape[0])
+        T0 = lie.se3_retract(T_true, jnp.array([0.15, -0.1, 0.1, 0.02, 0.04, -0.03]))
+        T, inl, _ = pose_opt.pose_optimization(T0, X, uv, sigma2, jnp.ones(X.shape[0], bool), self.K)
+        dt = np.linalg.norm(np.asarray(lie.se3_t(T)) - np.asarray(lie.se3_t(T_true)))
+        assert dt < 2e-4
+        assert int(inl.sum()) == X.shape[0]
+
+    def test_outliers_classified(self, rng):
+        X, uv, T_true = self._problem(rng, noise=0.2)
+        uvn = np.array(uv)
+        uvn[:40] += rng.randn(40, 2) * 60 + 30  # gross outliers
+        sigma2 = jnp.ones(X.shape[0])
+        T0 = lie.se3_retract(T_true, jnp.array([0.1, 0.0, 0.05, 0.01, -0.02, 0.0]))
+        T, inl, chi2 = pose_opt.pose_optimization(
+            T0, X, jnp.asarray(uvn), sigma2, jnp.ones(X.shape[0], bool), self.K
+        )
+        inl = np.asarray(inl)
+        assert inl[:40].sum() <= 2
+        assert inl[40:].sum() > 140
+        dt = np.linalg.norm(np.asarray(lie.se3_t(T)) - np.asarray(lie.se3_t(T_true)))
+        assert dt < 1e-2
+
+    def test_respects_information_weights(self, rng):
+        X, uv, T_true = self._problem(rng, noise=0.0)
+        sigma2 = jnp.full((X.shape[0],), 4.0)
+        T, inl, chi2 = pose_opt.pose_optimization(
+            T_true, X, uv, sigma2, jnp.ones(X.shape[0], bool), self.K
+        )
+        assert int(inl.sum()) == X.shape[0]
+
+
+@pytest.fixture(scope="module")
+def world():
+    return synthetic.PlaneWorld(seed=3, tex_size=1024, plane_z=6.0, extent=30.0)
+
+
+class TestEndToEndTracking:
+    H, W = 240, 320
+    K = np.array([260.0, 260.0, 160.0, 120.0], np.float32)
+
+    def test_initialize_and_track(self, world):
+        cfg = tracker.TrackerConfig(
+            frontend=FrontendConfig(height=self.H, width=self.W, n_features=600),
+            kf_cap=64, pt_cap=2048, fps=10.0,
+        )
+        t = tracker.MonocularTracker(cfg, self.K, np.zeros(4, np.float32))
+        n_frames = 40
+        poses_gt = synthetic.smooth_trajectory(n_frames, lateral=2.0, forward=0.5, yaw=0.08)
+        est, gt = [], []
+        for i, T_cw in enumerate(poses_gt):
+            img = world.render(jnp.asarray(T_cw), jnp.asarray(self.K), self.H, self.W)
+            pose = t.process_image(np.asarray(img), i * 0.1)
+            if pose is not None:
+                est.append(np.asarray(pose))
+                gt.append(T_cw)
+        assert t.state == tracker.OK, f"tracker state {t.state}"
+        assert len(est) > n_frames * 0.6, f"only {len(est)} tracked frames"
+        rmse, _, S = metrics.ate_rmse(np.stack(est), np.stack(gt))
+        # mapping-less tracker (frozen init map, no BA): coarse bound only.
+        # test_mapping.py asserts cm-level accuracy with local mapping on.
+        assert rmse < 0.5, f"ATE RMSE {rmse:.3f} m"
+
+    def test_lost_on_black_frames(self, world):
+        cfg = tracker.TrackerConfig(
+            frontend=FrontendConfig(height=self.H, width=self.W, n_features=600),
+            kf_cap=64, pt_cap=2048, fps=10.0,
+        )
+        t = tracker.MonocularTracker(cfg, self.K, np.zeros(4, np.float32))
+        poses_gt = synthetic.smooth_trajectory(20, lateral=1.5, forward=0.3)
+        for i, T_cw in enumerate(poses_gt):
+            img = world.render(jnp.asarray(T_cw), jnp.asarray(self.K), self.H, self.W)
+            t.process_image(np.asarray(img), i * 0.1)
+        assert t.state == tracker.OK
+        black = np.zeros((self.H, self.W), np.float32)
+        out = t.process_image(black, 99.0)
+        assert out is None
+        assert t.state in (tracker.RECENTLY_LOST, tracker.LOST)
