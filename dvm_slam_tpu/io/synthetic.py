@@ -41,15 +41,27 @@ def make_texture(rng, size=1024, octaves=4):
 
 
 class PlaneWorld:
-    """World of a single textured plane z = plane_z (world frame), with the
-    texture spanning x,y in [-extent/2, extent/2]."""
+    """World of textured z-planes (a deep background plane plus bounded
+    foreground patches at varying depth, so monocular BA sees real 3D
+    structure — a single plane leaves the plane-parallax ambiguity
+    unconstrained). Rendering is z-buffered ray/plane intersection.
+    """
 
-    def __init__(self, seed=0, tex_size=1024, plane_z=6.0, extent=24.0):
+    def __init__(self, seed=0, tex_size=1024, plane_z=6.0, extent=24.0,
+                 n_patches=8):
         rng = np.random.RandomState(seed)
         self.texture = jnp.asarray(make_texture(rng, tex_size))
         self.tex_size = tex_size
-        self.plane_z = plane_z
         self.extent = extent
+        # planes: (z, xmin, xmax, ymin, ymax); first = unbounded background
+        planes = [(plane_z, -extent, extent, -extent, extent)]
+        for _ in range(n_patches):
+            z = plane_z * (0.45 + 0.45 * rng.rand())
+            cx = (rng.rand() - 0.5) * extent * 0.5
+            cy = (rng.rand() - 0.5) * extent * 0.3
+            half = extent * (0.04 + 0.10 * rng.rand())
+            planes.append((z, cx - half, cx + half, cy - half, cy + half))
+        self.planes = np.asarray(planes, np.float32)
 
     @partial(jax.jit, static_argnames=("self", "h", "w"))
     def render(self, T_cw, K, h: int, w: int):
@@ -62,15 +74,28 @@ class PlaneWorld:
             [(u - K[2]) / K[0], (v - K[3]) / K[1], jnp.ones_like(u)], axis=-1
         )  # [h,w,3]
         d_w = lie.quat_rotate(lie.se3_q(T_wc)[None, None], d_cam)
-        t = (self.plane_z - c[2]) / jnp.where(jnp.abs(d_w[..., 2]) < 1e-9, 1e-9, d_w[..., 2])
-        pw = c[None, None] + t[..., None] * d_w
-        hit = t > 1e-3
-        # texture lookup with bilinear interpolation
-        tx = (pw[..., 0] / self.extent + 0.5) * (self.tex_size - 1)
-        ty = (pw[..., 1] / self.extent + 0.5) * (self.tex_size - 1)
-        inside = (tx >= 0) & (tx < self.tex_size - 1) & (ty >= 0) & (ty < self.tex_size - 1)
-        tx = jnp.clip(tx, 0, self.tex_size - 2)
-        ty = jnp.clip(ty, 0, self.tex_size - 2)
+
+        best_t = jnp.full((h, w), jnp.inf)
+        best_xy = jnp.zeros((h, w, 2))
+        best_off = jnp.zeros((h, w))
+        for pi, (z, x0p, x1p, y0p, y1p) in enumerate(self.planes):
+            t = (z - c[2]) / jnp.where(jnp.abs(d_w[..., 2]) < 1e-9, 1e-9, d_w[..., 2])
+            pw = c[None, None] + t[..., None] * d_w
+            inside = (
+                (t > 1e-3) & (pw[..., 0] >= x0p) & (pw[..., 0] <= x1p)
+                & (pw[..., 1] >= y0p) & (pw[..., 1] <= y1p)
+            )
+            closer = inside & (t < best_t)
+            best_t = jnp.where(closer, t, best_t)
+            best_xy = jnp.where(closer[..., None], pw[..., :2], best_xy)
+            # texture offset per plane decorrelates patch textures
+            best_off = jnp.where(closer, pi * 137.0, best_off)
+
+        hit = jnp.isfinite(best_t)
+        tx = (best_xy[..., 0] / self.extent + 0.5) * (self.tex_size - 1) + best_off
+        ty = (best_xy[..., 1] / self.extent + 0.5) * (self.tex_size - 1) + best_off * 0.7
+        tx = jnp.mod(tx, self.tex_size - 1.001)
+        ty = jnp.mod(ty, self.tex_size - 1.001)
         x0 = jnp.floor(tx).astype(jnp.int32)
         y0 = jnp.floor(ty).astype(jnp.int32)
         fx = tx - x0
@@ -82,7 +107,7 @@ class PlaneWorld:
             + tex[y0 + 1, x0] * (1 - fx) * fy
             + tex[y0 + 1, x0 + 1] * fx * fy
         )
-        return jnp.where(hit & inside, val, 0.0)
+        return jnp.where(hit, val, 0.0)
 
 
 def smooth_trajectory(n_frames: int, lateral=2.5, forward=1.0, yaw=0.15,

@@ -1,0 +1,429 @@
+"""Local mapping: new-point triangulation, duplicate fusion, windowed BA,
+map-point culling.
+
+TPU-native `LocalMapping` (`orb_slam3/src/LocalMapping.cc`): the reference's
+mapping thread becomes a set of jitted batch ops driven by a host
+`LocalMapper`. Pipeline per keyframe (reference loop `LocalMapping.cc:78-300`):
+
+  ProcessNewKeyFrame  -> observation wiring happens at insert (tracker)
+  MapPointCulling     -> `cull_points` (mask update; `LocalMapping.cc:410`)
+  CreateNewMapPoints  -> `create_new_points` (epipolar match + batched
+                         triangulation over the top-NN covisible keyframes;
+                         `LocalMapping.cc:446`, `ORBmatcher.cc:836`)
+  SearchInNeighbors   -> `fuse_duplicates` (projection fuse + point-merge
+                         remap table; `LocalMapping.cc:757`, `ORBmatcher.cc:1060`)
+  LocalBundleAdjustment -> `local_ba` (windowed Schur LM; `Optimizer.cc:1030`)
+  KeyFrameCulling     -> intentionally disabled, like the reference
+                         (`LocalMapping.cc:933` returns immediately:
+                         "Dont to any keyframe culling").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import lie, triangulation as tri
+from ..ops import matching
+from . import ba, map_state
+
+
+# --------------------------------------------------------------------------
+# new point creation
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_neighbors", "n_levels", "scale_factor"))
+def create_new_points(m: map_state.MapState, center, K,
+                      n_neighbors: int = 5,
+                      n_levels: int = 8, scale_factor: float = 1.2):
+    """Triangulate new map points between the center KF and its top covisible
+    neighbors (`LocalMapping::CreateNewMapPoints` semantics).
+
+    Returns (map, n_added)."""
+    scales = jnp.asarray([scale_factor ** i for i in range(n_levels)], m.pt_pos.dtype)
+    sigma2 = scales * scales
+    F = m.feat_capacity
+    f = K[0]
+
+    cov = map_state.covisibility(m)[center]                    # [K]
+    nw, nidx = jax.lax.top_k(cov, n_neighbors)
+    nvalid = (nw > 0) & m.kf_valid[nidx]
+
+    Tc = m.kf_pose[center]
+    xc = (m.kf_xy[center] - K[None, 2:4]) / K[None, 0:2]       # normalized
+    xc3 = jnp.concatenate([xc, jnp.ones((F, 1), xc.dtype)], -1)
+    free_c = (m.kf_obs[center] < 0) & m.kf_feat_valid[center]
+
+    # median scene depth of center KF for the baseline check
+    pc_all = jax.vmap(lambda X: lie.se3_apply(Tc, X))(m.pt_pos)
+    obs_c = m.kf_obs[center]
+    zvals = jnp.where(
+        (obs_c >= 0), pc_all[jnp.clip(obs_c, 0), 2], jnp.nan
+    )
+    med_depth = jnp.nanmedian(zvals)
+    med_depth = jnp.where(jnp.isfinite(med_depth), med_depth, 1.0)
+
+    def per_neighbor(n, valid_n):
+        Tn = m.kf_pose[n]
+        # relative pose c -> n
+        Tnc = lie.se3_mul(Tn, lie.se3_inv(Tc))
+        R = lie.quat_to_matrix(lie.se3_q(Tnc))
+        t = lie.se3_t(Tnc)
+        baseline = jnp.linalg.norm(
+            lie.se3_t(lie.se3_inv(Tn)) - lie.se3_t(lie.se3_inv(Tc))
+        )
+        enough_baseline = baseline / jnp.maximum(med_depth, 1e-9) > 0.01
+
+        E = lie.hat(t) @ R  # xn^T E xc = 0
+        xn = (m.kf_xy[n] - K[None, 2:4]) / K[None, 0:2]
+        xn3 = jnp.concatenate([xn, jnp.ones((F, 1), xn.dtype)], -1)
+        free_n = (m.kf_obs[n] < 0) & m.kf_feat_valid[n]
+
+        sig_n = sigma2[m.kf_level[n]] / (f * f)  # normalized units
+        epi = matching.epipolar_mask(xc3, xn3, E, sig_n)
+        dist = matching.hamming_matrix(m.kf_desc[center], m.kf_desc[n])
+        mask = epi & free_c[:, None] & free_n[None, :] & valid_n & enough_baseline
+        idx, dd, ok = matching.masked_best_match(dist, mask, matching.TH_LOW, ratio=0.75)
+        ok = matching.dedupe_matches(idx, ok, F)
+        j = jnp.clip(idx, 0)
+
+        # triangulate
+        Tcb = jnp.broadcast_to(Tc, (F, 7))
+        Tnb = jnp.broadcast_to(Tn, (F, 7))
+        X, okt = tri.triangulate(xc, xn[j], Tcb, Tnb)
+        z1 = jax.vmap(lambda p: lie.se3_apply(Tc, p))(X)[:, 2]
+        z2 = jax.vmap(lambda p: lie.se3_apply(Tn, p))(X)[:, 2]
+        cpar = tri.parallax_cos(Tcb, Tnb, X)
+        # reprojection chi2 in px
+        def reproj_err(T, xn_obs, Xp):
+            pc = jax.vmap(lambda p: lie.se3_apply(T, p))(Xp)
+            uv = pc[:, :2] / jnp.maximum(pc[:, 2:3], 1e-9)
+            return jnp.sum((uv - xn_obs) ** 2, -1) * f * f
+
+        e1 = reproj_err(Tc, xc, X)
+        e2 = reproj_err(Tn, xn[j], X)
+        s1 = sigma2[m.kf_level[center]]
+        s2 = sigma2[m.kf_level[n, j]]
+        # scale consistency (ratioDist vs ratioOctave within 1.5x)
+        d1 = jnp.linalg.norm(X - lie.se3_t(lie.se3_inv(Tc))[None], axis=-1)
+        d2 = jnp.linalg.norm(X - lie.se3_t(lie.se3_inv(Tn))[None], axis=-1)
+        ratio_d = d2 / jnp.maximum(d1, 1e-9)
+        ratio_o = scales[m.kf_level[center]] / scales[m.kf_level[n, j]]
+        scale_ok = (ratio_d < ratio_o * scale_factor * 1.5) & (
+            ratio_d * scale_factor * 1.5 > ratio_o
+        )
+        good = (
+            ok & okt & (z1 > 0) & (z2 > 0) & (cpar < 0.9998)
+            & (e1 < 5.991 * s1) & (e2 < 5.991 * s2) & scale_ok
+        )
+        return X, jnp.where(good, j, -1), good
+
+    Xs, js, goods = jax.vmap(per_neighbor)(nidx, nvalid)  # [NN,F,...]
+
+    # one new point per center feature: pick the first neighbor that produced
+    # a good triangulation for it
+    any_good = jnp.any(goods, axis=0)                      # [F]
+    first = jnp.argmax(goods, axis=0)                      # [NN index]
+    Xsel = Xs[first, jnp.arange(F)]
+    jsel = js[first, jnp.arange(F)]
+    nsel = nidx[first]
+
+    m2, slots = map_state.add_points(
+        m,
+        pos=Xsel,
+        desc=m.kf_desc[center],
+        normal=jnp.zeros((F, 3), m.pt_pos.dtype),
+        min_dist=jnp.zeros((F,), m.pt_pos.dtype),
+        max_dist=jnp.full((F,), 1e9, m.pt_pos.dtype),
+        ref_kf=center,
+        valid=any_good,
+    )
+    added = slots >= 0
+    # wire observations: center feature -> slot, neighbor feature -> slot
+    kf_obs = m2.kf_obs.at[center].set(
+        jnp.where(added, slots, m2.kf_obs[center])
+    )
+    # neighbor scatter (rows nsel, cols jsel); invalid -> pad row
+    Kcap = m2.kf_capacity
+    rown = jnp.where(added, nsel, Kcap)
+    coln = jnp.where(added, jsel, 0)
+    pad = jnp.full((1, F), -1, jnp.int32)
+    big = jnp.concatenate([kf_obs, pad])
+    big = big.at[rown, coln].set(jnp.where(added, slots, big[rown, coln]))
+    kf_obs = big[:-1]
+    return m2._replace(kf_obs=kf_obs), jnp.sum(added)
+
+
+# --------------------------------------------------------------------------
+# fusion of duplicate points
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_neighbors", "n_levels", "scale_factor"))
+def fuse_duplicates(m: map_state.MapState, center, K,
+                    n_neighbors: int = 5,
+                    n_levels: int = 8, scale_factor: float = 1.2):
+    """Project the center KF's points into its neighbors and fuse
+    (`LocalMapping::SearchInNeighbors` + `ORBmatcher::Fuse`):
+      - matched feature already observes another point -> merge the two
+        points (keep the more-observed one, remap the other everywhere);
+      - matched feature is free -> add the observation.
+    """
+    scales = jnp.asarray([scale_factor ** i for i in range(n_levels)], m.pt_pos.dtype)
+    F = m.feat_capacity
+    P = m.pt_capacity
+
+    cov = map_state.covisibility(m)[center]
+    nw, nidx = jax.lax.top_k(cov, n_neighbors)
+    nvalid = (nw > 0) & m.kf_valid[nidx]
+
+    pts_c = m.kf_obs[center]                      # [F] point slots of center
+    src_valid = (pts_c >= 0) & m.kf_feat_valid[center]
+    psl = jnp.clip(pts_c, 0)
+    pos = m.pt_pos[psl]
+    desc = m.pt_desc[psl]
+
+    n_obs = map_state.point_observers(m)          # [P]
+
+    def per_neighbor(n, valid_n):
+        Tn = m.kf_pose[n]
+        pc = jax.vmap(lambda X: lie.se3_apply(Tn, X))(pos)
+        uv, front = jax.vmap(lambda p: (K[0:2] * p[:2] / jnp.maximum(p[2], 1e-9) + K[2:4], p[2] > 0))(pc)
+        dist_c = jnp.linalg.norm(pos - lie.se3_t(lie.se3_inv(Tn))[None], axis=-1)
+        lvl = map_state.predict_scale(
+            dist_c, m.pt_max_dist[psl], n_levels, scale_factor
+        )
+        radii = 3.0 * scales[lvl]
+        dmat = matching.hamming_matrix(desc, m.kf_desc[n])
+        d2 = jnp.sum((uv[:, None, :] - m.kf_xy[n][None, :, :]) ** 2, -1)
+        lvl_ok = jnp.abs(m.kf_level[n][None, :] - lvl[:, None]) <= 1
+        mask = (
+            (d2 <= radii[:, None] ** 2) & lvl_ok & src_valid[:, None]
+            & m.kf_feat_valid[n][None, :] & front[:, None] & valid_n
+        )
+        idx, dd, ok = matching.masked_best_match(dmat, mask, matching.TH_LOW)
+        ok = matching.dedupe_matches(idx, ok, F)
+        return jnp.where(ok, idx, -1), ok
+
+    idxs, oks = jax.vmap(per_neighbor)(nidx, nvalid)   # [NN,F]
+
+    # build merge remap + new observations
+    remap = jnp.arange(P, dtype=jnp.int32)
+    kf_obs = m.kf_obs
+    pt_valid = m.pt_valid
+
+    NN = nidx.shape[0]
+    for ni in range(NN):  # static unroll over neighbors
+        n = nidx[ni]
+        ok = oks[ni]
+        feat = jnp.clip(idxs[ni], 0)
+        tgt = kf_obs[n, feat]                     # existing point at target
+        p_src = remap[psl]                        # follow prior merges
+        has_tgt = (tgt >= 0) & ok
+        tgt_c = jnp.clip(remap[jnp.clip(tgt, 0)], 0)
+        # merge: keep the point with more observers
+        keep_src = n_obs[p_src] >= n_obs[tgt_c]
+        winner = jnp.where(keep_src, p_src, tgt_c)
+        loser = jnp.where(keep_src, tgt_c, p_src)
+        do_merge = has_tgt & (p_src != tgt_c) & src_valid
+        # update remap: loser -> winner (one hop per round)
+        remap = remap.at[jnp.where(do_merge, loser, P - 1)].set(
+            jnp.where(do_merge, winner, remap[P - 1])
+        )
+        pt_valid = pt_valid & ~(
+            jnp.zeros((P,), bool).at[jnp.where(do_merge, loser, 0)].set(do_merge)
+        )
+        # free feature -> add observation of src point
+        add_obs = ok & (tgt < 0) & src_valid
+        kf_obs = kf_obs.at[n, jnp.where(add_obs, feat, F - 1)].set(
+            jnp.where(add_obs, p_src, kf_obs[n, F - 1])
+        )
+
+    # apply remap across the whole observation table
+    kf_obs = jnp.where(kf_obs >= 0, remap[jnp.clip(kf_obs, 0)], -1)
+    return m._replace(kf_obs=kf_obs, pt_valid=pt_valid)
+
+
+# --------------------------------------------------------------------------
+# culling
+# --------------------------------------------------------------------------
+
+@jax.jit
+def cull_points(m: map_state.MapState, current_kf):
+    """`LocalMapping::MapPointCulling` (`LocalMapping.cc:410`):
+      - found/visible ratio < 0.25 -> bad
+      - >= 2 keyframes since creation and <= 2 observers -> bad
+      - survived 3 keyframes -> permanent (we simply stop testing).
+    """
+    age = current_kf - m.pt_first_kf
+    ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(m.pt_visible, 1).astype(jnp.float32)
+    nobs = map_state.point_observers(m)
+    young = age <= 3
+    bad = (ratio < 0.25) & young
+    bad = bad | ((age >= 2) & (nobs <= 2) & young)
+    keep = m.pt_valid & ~bad
+    # drop observations of culled points
+    dead = m.pt_valid & bad
+    kf_obs = jnp.where(
+        (m.kf_obs >= 0) & dead[jnp.clip(m.kf_obs, 0)], -1, m.kf_obs
+    )
+    return m._replace(pt_valid=keep, kf_obs=kf_obs)
+
+
+# --------------------------------------------------------------------------
+# windowed bundle adjustment
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_local", "n_fixed", "n_pts", "iters", "n_levels", "scale_factor"))
+def local_ba(m: map_state.MapState, center, K,
+             n_local: int = 16, n_fixed: int = 16, n_pts: int = 4096,
+             iters: int = 8, n_levels: int = 8, scale_factor: float = 1.2):
+    """Covisibility-window BA around `center` (`Optimizer::LocalBundleAdjustment`
+    window semantics, `Optimizer.cc:1030-1107`): local = center + covisible
+    keyframes; points = those observed by local keyframes; fixed = other
+    observers of those points + keyframe 0."""
+    scales = jnp.asarray([scale_factor ** i for i in range(n_levels)], m.pt_pos.dtype)
+    sigma2_lv = scales * scales
+    P = m.pt_capacity
+    F = m.feat_capacity
+
+    cov = map_state.covisibility(m)[center]
+    cw, cidx = jax.lax.top_k(cov, n_local - 1)
+    lmask = jnp.concatenate([jnp.array([True]), (cw > 0) & m.kf_valid[cidx]])
+    lidx = jnp.concatenate([center[None].astype(jnp.int32), cidx.astype(jnp.int32)])
+
+    # local points: observed by any local KF
+    obs_l = m.kf_obs[lidx]                                   # [L,F]
+    obs_l = jnp.where(lmask[:, None], obs_l, -1)
+    is_local_pt = jnp.zeros((P + 1,), bool).at[
+        jnp.where(obs_l >= 0, obs_l, P).reshape(-1)
+    ].set(True)[:P] & m.pt_valid
+    # select top n_pts local points (by index order — all if they fit)
+    sel_score = jnp.where(is_local_pt, 1.0, 0.0)
+    _, sel = jax.lax.top_k(sel_score, n_pts)
+    sel_ok = is_local_pt[sel]
+    inv = jnp.full((P + 1,), -1, jnp.int32).at[jnp.where(sel_ok, sel, P)].set(
+        jnp.arange(n_pts, dtype=jnp.int32)
+    )[: P + 1]
+
+    # fixed KFs: observers of selected points that are not local
+    inc = map_state.incidence(m)                             # [K,P]
+    obs_sel_count = jnp.sum(inc[:, sel] & sel_ok[None, :], axis=1)
+    is_local_kf = jnp.zeros((m.kf_capacity,), bool).at[
+        jnp.where(lmask, lidx, 0)
+    ].set(lmask)
+    fscore = jnp.where(
+        m.kf_valid & ~is_local_kf, obs_sel_count, 0
+    )
+    fw, fidx = jax.lax.top_k(fscore, n_fixed)
+    fmask = fw > 0
+
+    rows = jnp.concatenate([lidx, fidx.astype(jnp.int32)])   # [L+X]
+    rmask = jnp.concatenate([lmask, fmask])
+    fixed = jnp.concatenate([jnp.zeros((n_local,), bool), jnp.ones((n_fixed,), bool)])
+    fixed = fixed | (rows == 0)  # keyframe 0 is the gauge anchor
+    fixed = fixed | ~rmask
+
+    rowc = jnp.clip(rows, 0)
+    obs_pt_g = jnp.where(rmask[:, None], m.kf_obs[rowc], -1)  # global slots
+    obs_pt = jnp.where(obs_pt_g >= 0, inv[jnp.clip(obs_pt_g, 0)], -1)
+
+    kf_xy = m.kf_xy[rowc]
+    kf_sig = sigma2_lv[m.kf_level[rowc]]
+    poses = m.kf_pose[rowc]
+    pts = m.pt_pos[sel]
+    pt_opt = sel_ok
+
+    new_poses, new_pts, chi2, inliers = ba.bundle_adjust(
+        poses, fixed, kf_xy, kf_sig, obs_pt, pts, pt_opt, K, iters=iters
+    )
+
+    # scatter back poses (only non-fixed local rows) and points
+    upd = rmask & ~fixed
+    Kcap = m.kf_capacity
+    tgt = jnp.where(upd, rows, Kcap)
+    padded = jnp.concatenate([m.kf_pose, jnp.zeros((1, 7), m.kf_pose.dtype)])
+    kf_pose = padded.at[tgt].set(jnp.where(upd[:, None], new_poses, padded[tgt]))[:-1]
+
+    ptgt = jnp.where(sel_ok, sel, P)
+    ppad = jnp.concatenate([m.pt_pos, jnp.zeros((1, 3), m.pt_pos.dtype)])
+    pt_pos = ppad.at[ptgt].set(jnp.where(sel_ok[:, None], new_pts, ppad[ptgt]))[:-1]
+
+    # remove observations that ended as BA outliers (reference erases those
+    # edges after optimization, Optimizer.cc tail of LocalBundleAdjustment)
+    outlier = (obs_pt >= 0) & ~inliers
+    kf_obs = m.kf_obs
+    big = jnp.concatenate([kf_obs, jnp.full((1, F), -1, jnp.int32)])
+    rows_b = jnp.broadcast_to(jnp.where(rmask, rows, Kcap)[:, None], outlier.shape)
+    cols_b = jnp.broadcast_to(jnp.arange(F)[None, :], outlier.shape)
+    rsel = jnp.where(outlier, rows_b, Kcap)
+    big = big.at[rsel, cols_b].set(jnp.where(outlier, -1, big[rsel, cols_b]))
+    kf_obs = big[:-1]
+
+    return m._replace(kf_pose=kf_pose, pt_pos=pt_pos, kf_obs=kf_obs), chi2
+
+
+# --------------------------------------------------------------------------
+# host-side local mapper
+# --------------------------------------------------------------------------
+
+class LocalMapper:
+    """Host driver for the mapping pipeline — the reference's LocalMapping
+    thread (`LocalMapping.cc:78-300`) turned into synchronous (or
+    caller-scheduled) batched device calls."""
+
+    def __init__(self, n_neighbors=5, ba_local=16, ba_fixed=16, ba_pts=4096,
+                 ba_iters=8, run_ba_every=1):
+        self.n_neighbors = n_neighbors
+        self.ba_local = ba_local
+        self.ba_fixed = ba_fixed
+        self.ba_pts = ba_pts
+        self.ba_iters = ba_iters
+        self.run_ba_every = run_ba_every
+        self._kf_count = 0
+
+    def on_initial_map(self, tracker):
+        fc = tracker.config.frontend
+        m, _ = local_ba(
+            tracker.map, jnp.int32(1), tracker.K,
+            n_local=4, n_fixed=4, n_pts=self.ba_pts, iters=16,
+            n_levels=fc.n_levels, scale_factor=fc.scale_factor,
+        )
+        tracker.map = map_state.update_point_stats(m, fc.n_levels, fc.scale_factor)
+
+    def on_new_keyframe(self, tracker, slot: int):
+        fc = tracker.config.frontend
+        m = tracker.map
+        c = jnp.int32(slot)
+        m = cull_points(m, c)
+        m, n_new = create_new_points(
+            m, c, tracker.K, n_neighbors=self.n_neighbors,
+            n_levels=fc.n_levels, scale_factor=fc.scale_factor,
+        )
+        m = fuse_duplicates(
+            m, c, tracker.K, n_neighbors=self.n_neighbors,
+            n_levels=fc.n_levels, scale_factor=fc.scale_factor,
+        )
+        m = map_state.update_point_stats(m, fc.n_levels, fc.scale_factor)
+        self._kf_count += 1
+        if self._kf_count % self.run_ba_every == 0:
+            m, _ = local_ba(
+                m, c, tracker.K,
+                n_local=self.ba_local, n_fixed=self.ba_fixed,
+                n_pts=self.ba_pts, iters=self.ba_iters,
+                n_levels=fc.n_levels, scale_factor=fc.scale_factor,
+            )
+            m = map_state.update_point_stats(m, fc.n_levels, fc.scale_factor)
+        tracker.map = m
+        tracker.last_pose = m.kf_pose[slot]
+
+        # assign uuids for newly created points
+        npts = int(m.n_pt)
+        meta = tracker.meta
+        fresh = meta.pt_uuid[:npts].sum(axis=1) == 0
+        nf = int(fresh.sum())
+        if nf:
+            meta.pt_uuid[:npts][fresh] = meta.new_uuids(nf)
+            meta.pt_creator[:npts][fresh] = meta.agent_id

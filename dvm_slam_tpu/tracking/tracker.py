@@ -262,11 +262,13 @@ class MonocularTracker:
             valid=gmask,
         )
         obs1 = jnp.where(gmask, slots, -1)
-        # frame2 feature j = idx[i] observes the same slot
-        idx_np = jnp.clip(idx, 0)
-        obs2 = jnp.full((Fcap,), -1, jnp.int32).at[idx_np].set(
-            jnp.where(gmask & (idx >= 0), slots, -1)
-        )
+        # frame2 feature j = idx[i] observes the same slot; route rows
+        # without a valid match to a sacrificial slot (Fcap)
+        write = gmask & (idx >= 0)
+        tgt = jnp.where(write, idx, Fcap)
+        obs2 = jnp.full((Fcap + 1,), -1, jnp.int32).at[tgt].set(
+            jnp.where(write, slots, -1)
+        )[:Fcap]
         m, s1 = map_state.add_keyframe(m, T1, f1.xy, f1.level, f1.angle, f1.desc, f1.valid, obs1)
         m, s2 = map_state.add_keyframe(m, T2, f2.xy, f2.level, f2.angle, f2.desc, f2.valid, obs2)
         m = map_state.update_point_stats(

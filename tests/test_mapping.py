@@ -1,0 +1,152 @@
+"""Bundle adjustment, local mapping ops, and the full tracking+mapping
+end-to-end accuracy test."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dvm_slam_tpu.geometry import lie, cameras
+from dvm_slam_tpu.mapping import ba, map_state, local_mapping
+from dvm_slam_tpu.tracking import tracker
+from dvm_slam_tpu.frontend.extractor import FrontendConfig
+from dvm_slam_tpu.io import synthetic
+from dvm_slam_tpu.eval import metrics
+
+K4 = jnp.array([300.0, 300.0, 160.0, 120.0])
+
+
+def make_ba_problem(rng, n_cams=6, n_pts=300, noise_px=0.5):
+    X = rng.randn(n_pts, 3).astype(np.float32)
+    X[:, 2] = X[:, 2] * 2 + 10.0
+    poses = []
+    for i in range(n_cams):
+        t = np.array([i * 0.4 - 1.0, 0.02 * i, 0.0], np.float32)
+        phi = np.array([0.0, 0.02 * i, 0.0], np.float32)
+        T_wc = lie.se3(lie.so3_exp(jnp.asarray(phi)), jnp.asarray(t))
+        poses.append(np.asarray(lie.se3_inv(T_wc)))
+    poses = jnp.asarray(np.stack(poses))
+    # observations: every camera sees every point
+    uv = []
+    for i in range(n_cams):
+        pc = lie.se3_apply(poses[i][None], jnp.asarray(X))
+        u, _ = cameras.pinhole_project(K4, pc)
+        uv.append(np.asarray(u) + rng.randn(n_pts, 2).astype(np.float32) * noise_px)
+    uv = jnp.asarray(np.stack(uv))  # [L,F=P,2]
+    obs_pt = jnp.broadcast_to(jnp.arange(n_pts, dtype=jnp.int32)[None], (n_cams, n_pts))
+    sigma2 = jnp.ones((n_cams, n_pts))
+    return poses, jnp.asarray(X), uv, obs_pt, sigma2
+
+
+class TestBundleAdjust:
+    def test_recovers_from_perturbation(self, rng):
+        poses, X, uv, obs_pt, sigma2 = make_ba_problem(rng, noise_px=0.0)
+        n_cams, n_pts = obs_pt.shape
+        key = jax.random.PRNGKey(0)
+        dp = jax.random.normal(key, poses[:, :1].shape) * 0  # placeholder
+        pert = jnp.asarray(
+            np.concatenate(
+                [np.zeros((2, 6), np.float32),
+                 rng.randn(n_cams - 2, 6).astype(np.float32) * 0.02]
+            )
+        )
+        poses0 = jax.vmap(lie.se3_retract)(poses, pert)
+        X0 = X + jnp.asarray(rng.randn(n_pts, 3).astype(np.float32) * 0.05)
+        fixed = jnp.asarray([True, True] + [False] * (n_cams - 2))
+        newp, newx, chi2, inl = ba.bundle_adjust(
+            poses0, fixed, uv, sigma2, obs_pt, X0, jnp.ones(n_pts, bool), K4, iters=15
+        )
+        assert float(chi2) < 1e-2
+        np.testing.assert_allclose(
+            np.asarray(lie.se3_t(newp)), np.asarray(lie.se3_t(poses)), atol=2e-3
+        )
+        np.testing.assert_allclose(np.asarray(newx), np.asarray(X), atol=5e-3)
+        assert bool(inl.all())
+
+    def test_fixed_cameras_unchanged(self, rng):
+        poses, X, uv, obs_pt, sigma2 = make_ba_problem(rng)
+        n_cams, n_pts = obs_pt.shape
+        fixed = jnp.asarray([True] * n_cams)
+        newp, newx, chi2, inl = ba.bundle_adjust(
+            poses, fixed, uv, sigma2, obs_pt, X, jnp.ones(n_pts, bool), K4, iters=3
+        )
+        np.testing.assert_allclose(newp, poses, atol=1e-6)
+
+    def test_robust_to_outlier_observations(self, rng):
+        poses, X, uv, obs_pt, sigma2 = make_ba_problem(rng, noise_px=0.3)
+        uvn = np.array(uv)
+        uvn[2, :20] += 80.0  # corrupt 20 observations in camera 2
+        n_cams, n_pts = obs_pt.shape
+        fixed = jnp.asarray([True, True] + [False] * (n_cams - 2))
+        newp, newx, chi2, inl = ba.bundle_adjust(
+            poses, fixed, jnp.asarray(uvn), sigma2, obs_pt, X,
+            jnp.ones(n_pts, bool), K4, iters=10
+        )
+        inl = np.asarray(inl)
+        assert inl[2, :20].sum() == 0  # outliers classified
+        assert inl[2, 20:].sum() > 260  # clean obs kept
+        # the 80px-corrupted edges must not measurably bias the solution:
+        # compare against the same solve on clean data (the ML optimum wanders
+        # ~2cm from truth at this noise/geometry — that part is legitimate)
+        newp_c, _, _, _ = ba.bundle_adjust(
+            poses, fixed, uv, sigma2, obs_pt, X, jnp.ones(n_pts, bool), K4, iters=10
+        )
+        np.testing.assert_allclose(
+            np.asarray(lie.se3_t(newp)), np.asarray(lie.se3_t(newp_c)), atol=5e-3
+        )
+
+
+class TestCulling:
+    def test_low_found_ratio_culled(self):
+        m = map_state.create(8, 64, 16)
+        m, _ = map_state.add_points(
+            m, jnp.zeros((4, 3)), jnp.zeros((4, 256), jnp.uint8),
+            jnp.zeros((4, 3)), jnp.zeros(4), jnp.ones(4), jnp.int32(0),
+            jnp.ones(4, bool),
+        )
+        m = m._replace(
+            pt_visible=m.pt_visible.at[:4].set(jnp.array([10, 10, 10, 10])),
+            pt_found=m.pt_found.at[:4].set(jnp.array([1, 9, 2, 8])),
+        )
+        m2 = local_mapping.cull_points(m, jnp.int32(1))
+        v = np.asarray(m2.pt_valid[:4])
+        assert not v[0] and not v[2]  # ratio 0.1, 0.2 -> culled
+
+
+@pytest.fixture(scope="module")
+def world():
+    return synthetic.PlaneWorld(seed=3, tex_size=1024, plane_z=6.0, extent=30.0)
+
+
+class TestEndToEndWithMapping:
+    H, W = 240, 320
+    K = np.array([260.0, 260.0, 160.0, 120.0], np.float32)
+
+    def _run(self, world, n_frames=50, **traj_kw):
+        cfg = tracker.TrackerConfig(
+            frontend=FrontendConfig(height=self.H, width=self.W, n_features=600),
+            kf_cap=64, pt_cap=4096, fps=10.0,
+        )
+        mapper = local_mapping.LocalMapper(
+            n_neighbors=4, ba_local=8, ba_fixed=8, ba_pts=2048, ba_iters=6
+        )
+        t = tracker.MonocularTracker(cfg, self.K, np.zeros(4, np.float32),
+                                     local_mapper=mapper)
+        poses_gt = synthetic.smooth_trajectory(n_frames, **traj_kw)
+        est, gt = [], []
+        for i, T_cw in enumerate(poses_gt):
+            img = world.render(jnp.asarray(T_cw), jnp.asarray(self.K), self.H, self.W)
+            pose = t.process_image(np.asarray(img), i * 0.1)
+            if pose is not None:
+                est.append(np.asarray(pose))
+                gt.append(T_cw)
+        return t, est, gt
+
+    def test_accuracy_with_mapping(self, world):
+        t, est, gt = self._run(world, n_frames=50, lateral=2.0, forward=0.5, yaw=0.08)
+        assert t.state == tracker.OK
+        assert len(est) > 30
+        assert int(t.map.n_kf) >= 3  # mapping created keyframes
+        assert int(jnp.sum(t.map.pt_valid)) > 200
+        rmse, _, _ = metrics.ate_rmse(np.stack(est), np.stack(gt))
+        assert rmse < 0.06, f"ATE RMSE {rmse:.3f} m"
