@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark: per-agent front-end + tracking FPS on the flagship hot path.
+
+Runs the full jitted per-frame pipeline (ORB extraction -> two-stage map
+projection matching -> pose-only BA) at EuRoC geometry (752x480, 1250
+features, 8 levels) against a populated map, on whatever accelerator JAX
+provides (TPU under the driver). Also times one windowed local BA solve.
+
+Prints ONE JSON line:
+  {"metric": "tracking_fps", "value": N, "unit": "fps", "vs_baseline": N/20}
+
+Baseline: the reference tracks its configured camera rate, 20 fps on EuRoC
+(`src/slam_system/configs/euroc.yaml:39`); BASELINE.md's rebuild target is
+>= 60 fps/agent (3x the reference rate), i.e. vs_baseline >= 3.0.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dvm_slam_tpu.frontend.extractor import FrontendConfig, make_frame
+    from dvm_slam_tpu.tracking import tracker as trk
+    from dvm_slam_tpu.mapping import local_mapping, map_state
+    from dvm_slam_tpu.io import synthetic
+
+    H, W = 480, 752
+    K = np.array([458.654, 457.296, 367.215, 248.375], np.float32)
+    fc = FrontendConfig(height=H, width=W, n_features=1250)
+    cfg = trk.TrackerConfig(frontend=fc, kf_cap=128, pt_cap=8192, fps=20.0)
+
+    world = synthetic.PlaneWorld(seed=7, tex_size=2048, plane_z=6.0, extent=36.0)
+    mapper = local_mapping.LocalMapper(n_neighbors=5, ba_local=12, ba_fixed=8,
+                                       ba_pts=4096, ba_iters=6)
+    t = trk.MonocularTracker(cfg, K, np.zeros(4, np.float32), local_mapper=mapper)
+
+    poses = synthetic.smooth_trajectory(60, lateral=2.5, forward=0.8, yaw=0.1)
+    Kj = jnp.asarray(K)
+    imgs = [np.asarray(world.render(jnp.asarray(p), Kj, H, W)) for p in poses]
+
+    # build a map (also warms every jit cache)
+    for i, img in enumerate(imgs):
+        t.process_image(img, i * 0.05)
+    if t.state != trk.OK:
+        print(json.dumps({"metric": "tracking_fps", "value": 0.0,
+                          "unit": "fps", "vs_baseline": 0.0,
+                          "error": f"tracker state {t.state}"}))
+        return
+
+    # ---- timed: the steady-state per-frame hot path --------------------
+    frame_j = make_frame(jnp.asarray(imgs[-1]), t.K, t.dist, fc)
+    T_pred = t.last_pose
+    m = t.map
+
+    def hot(img):
+        f = make_frame(img, t.K, t.dist, fc)
+        return trk.track_frame(m, f, T_pred, t.K, cfg)
+
+    img_dev = jnp.asarray(imgs[-1])
+    r = hot(img_dev)
+    jax.block_until_ready(r.T_cw)
+
+    n_iter = 50
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        r = hot(img_dev)
+    jax.block_until_ready(r.T_cw)
+    dt = (time.perf_counter() - t0) / n_iter
+    fps = 1.0 / dt
+
+    # ---- local BA timing (secondary, reported inside the same line) ----
+    center = jnp.int32(int(m.n_kf) - 1)
+    mm, chi2 = local_mapping.local_ba(m, center, t.K, n_local=12, n_fixed=8,
+                                      n_pts=4096, iters=6)
+    jax.block_until_ready(mm.kf_pose)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        mm, chi2 = local_mapping.local_ba(m, center, t.K, n_local=12, n_fixed=8,
+                                          n_pts=4096, iters=6)
+    jax.block_until_ready(mm.kf_pose)
+    ba_ms = (time.perf_counter() - t0) / 10 * 1000.0
+
+    print(json.dumps({
+        "metric": "tracking_fps",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 20.0, 3),
+        "local_ba_ms": round(ba_ms, 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

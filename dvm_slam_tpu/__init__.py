@@ -32,3 +32,11 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry pipelines (BA normal equations, Schur complements, triangulation)
+# need true f32 accumulation: the TPU default of bf16 matmul inputs makes
+# Gauss-Newton diverge. Integer popcount matmuls are unaffected. Kernels that
+# can tolerate lower precision opt in locally.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -135,11 +135,13 @@ def incidence(m: MapState):
 def covisibility(m: MapState):
     """[K,K] int32 shared-observation counts (KeyFrame::GetCovisiblesByWeight
     equivalent source data) — one int8 matmul over the incidence matrix."""
-    M = incidence(m).astype(jnp.int8)
+    # bf16 MXU matmul with f32 accumulation: exact for {0,1} inputs
+    M = incidence(m).astype(jnp.bfloat16)
     W = jax.lax.dot_general(
         M, M, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ).astype(jnp.int32)
     return W * (1 - jnp.eye(W.shape[0], dtype=jnp.int32))
 
 

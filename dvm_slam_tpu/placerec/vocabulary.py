@@ -1,0 +1,150 @@
+"""Binary vocabulary tree (DBoW2 equivalent) — trainable, batched transform.
+
+Replaces the vendored DBoW2 (`orb_slam3/Thirdparty/DBoW2/TemplatedVocabulary.h`)
+and the 1.3GB ORBvoc.txt (which the reference ships as a large blob and this
+framework does not need): a hierarchical binary k-means (k-medoids with
+majority-bit centers) tree trained on descriptors from the target domain.
+
+TPU-native transform: the tree descent is `depth` rounds of a [F, branch]
+Hamming argmin (gather + popcount matmul), and BoW vectors are kept DENSE
+[W] float32, L1-normalized with tf-idf weights — BoW similarity over a whole
+keyframe database is then one [K,W] pass on the MXU instead of sparse-map
+walks. W = branch^depth is configurable (default 10^3; the reference's vocab
+is 10^6 but at SLAM map sizes the dense form saturates recall far earlier).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class Vocabulary:
+    """levels[l]: [branch^(l+1), 256] uint8 node centers; children of node p
+    at level l are rows p*branch + (0..branch-1).
+    idf: [W] float32 inverse-document-frequency weights."""
+
+    levels: list
+    idf: np.ndarray
+    branch: int
+    depth: int
+
+    @property
+    def n_words(self):
+        return self.branch ** self.depth
+
+    def device_arrays(self):
+        return tuple(jnp.asarray(l) for l in self.levels), jnp.asarray(self.idf)
+
+
+def _majority(bits):
+    """[N,256] -> [256] majority-vote center."""
+    return (bits.sum(0) * 2 >= bits.shape[0]).astype(np.uint8)
+
+
+def _binary_kmeans(rng, descs, k, iters=8):
+    """Binary k-means: returns [k,256] centers (padded by resampling)."""
+    n = descs.shape[0]
+    if n == 0:
+        return np.zeros((k, 256), np.uint8)
+    centers = descs[rng.choice(n, size=min(k, n), replace=False)]
+    if centers.shape[0] < k:
+        centers = np.concatenate(
+            [centers, descs[rng.randint(0, n, k - centers.shape[0])]]
+        )
+    for _ in range(iters):
+        d = (descs[:, None, :] != centers[None, :, :]).sum(-1)  # [N,k]
+        assign = d.argmin(1)
+        for c in range(k):
+            sel = descs[assign == c]
+            if len(sel):
+                centers[c] = _majority(sel)
+    return centers.astype(np.uint8)
+
+
+def train(descs, branch: int = 10, depth: int = 3, seed: int = 0) -> Vocabulary:
+    """Train on [N,256] {0,1} uint8 descriptors (host, numpy)."""
+    rng = np.random.RandomState(seed)
+    descs = np.asarray(descs, np.uint8)
+    levels = []
+    groups = [descs]
+    for l in range(depth):
+        n_nodes = branch ** (l + 1)
+        centers = np.zeros((n_nodes, 256), np.uint8)
+        next_groups = []
+        for gi, g in enumerate(groups):
+            c = _binary_kmeans(rng, g, branch)
+            centers[gi * branch:(gi + 1) * branch] = c
+            if len(g):
+                d = (g[:, None, :] != c[None, :, :]).sum(-1)
+                a = d.argmin(1)
+                next_groups.extend([g[a == j] for j in range(branch)])
+            else:
+                next_groups.extend([g] * branch)
+        levels.append(centers)
+        groups = next_groups
+
+    # idf from training corpus: treat each descriptor as one "document word
+    # occurrence"; DBoW2 uses idf = log(N_docs / n_i) with the training images
+    # as docs — descriptors stand in here (flat corpus)
+    W = branch ** depth
+    words = np.array([len(g) for g in groups], np.float64)
+    n = max(descs.shape[0], 1)
+    idf = np.log(n / np.maximum(words, 1.0)).astype(np.float32)
+    return Vocabulary(levels=levels, idf=idf, branch=branch, depth=depth)
+
+
+def save(voc: Vocabulary, path: str):
+    np.savez_compressed(
+        path, idf=voc.idf, branch=voc.branch, depth=voc.depth,
+        **{f"level{i}": l for i, l in enumerate(voc.levels)},
+    )
+
+
+def load(path: str) -> Vocabulary:
+    z = np.load(path)
+    depth = int(z["depth"])
+    return Vocabulary(
+        levels=[z[f"level{i}"] for i in range(depth)],
+        idf=z["idf"], branch=int(z["branch"]), depth=depth,
+    )
+
+
+@partial(jax.jit, static_argnames=("branch",))
+def transform_words(levels, desc, valid, branch: int):
+    """Descend the tree: [F,256] descriptors -> [F] int32 word ids (-1 for
+    invalid slots)."""
+    F = desc.shape[0]
+    cur = jnp.zeros((F,), jnp.int32)
+    d = desc.astype(jnp.float32)
+    pop_d = jnp.sum(d, axis=-1)
+    for lv in levels:  # static depth
+        base = cur * branch
+        child_idx = base[:, None] + jnp.arange(branch)[None, :]  # [F,b]
+        c = lv[child_idx].astype(jnp.float32)                    # [F,b,256]
+        common = jnp.einsum("fk,fbk->fb", d, c)
+        ham = pop_d[:, None] + jnp.sum(c, axis=-1) - 2.0 * common
+        cur = base + jnp.argmin(ham, axis=-1).astype(jnp.int32)
+    return jnp.where(valid, cur, -1)
+
+
+@partial(jax.jit, static_argnames=("branch", "n_words"))
+def bow_vector(levels, idf, desc, valid, branch: int, n_words: int):
+    """[F,256] descriptors -> dense L1-normalized tf-idf BoW [W] float32."""
+    words = transform_words(levels, desc, valid, branch)
+    tgt = jnp.where(words >= 0, words, n_words)
+    counts = jnp.zeros((n_words + 1,), jnp.float32).at[tgt].add(1.0)[:n_words]
+    v = counts * idf
+    norm = jnp.sum(jnp.abs(v))
+    return v / jnp.maximum(norm, 1e-12)
+
+
+def l1_score(q, bows):
+    """DBoW2 L1 similarity of one normalized query vs [K,W] normalized BoWs:
+    s = 1 - 0.5 * |q - b|_1, in [0,1]."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(q[None, :] - bows), axis=-1)

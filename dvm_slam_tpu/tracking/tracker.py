@@ -103,6 +103,16 @@ def track_frame(m: map_state.MapState, frame: Frame, T_pred, K, config: TrackerC
     uv, vis, level, view_cos = project_points(m, T_pred, K, config)
     radii1 = 15.0 * scales[level]
     feat1, ok1 = _match_and_assign(m, uv, vis, level, radii1, frame, matching.TH_HIGH, 0.9)
+    # reference fallback: too few matches -> retry with doubled window
+    # (`Tracking::TrackWithMotionModel` retries 2*th, then falls back to the
+    # window-free reference-KF search; we fold both into one wide retry)
+    def _retry(_):
+        return _match_and_assign(m, uv, vis, level, radii1 * 4.0, frame,
+                                 matching.TH_HIGH, 0.9)
+
+    feat1, ok1 = jax.lax.cond(
+        jnp.sum(ok1) < 20, _retry, lambda _: (feat1, ok1), operand=None
+    )
     f1 = jnp.clip(feat1, 0)
     obs_uv = frame.xy[f1]
     obs_sig = sigma2[frame.level[f1]]
