@@ -192,6 +192,9 @@ class MonocularTracker:
         self.n_frames = 0
         self.key = jax.random.PRNGKey(rng_seed)
         self.trajectory = []  # (timestamp, T_cw np[7], state)
+        self.kf_timestamps = {}  # kf slot -> frame timestamp
+        self._cur_ts = None
+        self._init_ts = None
 
     # -- public API ---------------------------------------------------------
 
@@ -204,6 +207,7 @@ class MonocularTracker:
 
     def process_frame(self, frame: Frame, timestamp: float):
         self.n_frames += 1
+        self._cur_ts = timestamp
         if self.state == NOT_INITIALIZED:
             pose = self._try_initialize(frame)
         else:
@@ -218,6 +222,7 @@ class MonocularTracker:
         if self.init_frame is None or int(frame.valid.sum()) <= self.config.min_init_matches:
             if int(frame.valid.sum()) > self.config.min_init_matches:
                 self.init_frame = frame
+                self._init_ts = self._cur_ts
             return None
         f1, f2 = self.init_frame, frame
         idx, ok = matching.search_for_initialization(
@@ -228,6 +233,7 @@ class MonocularTracker:
         if n_matches < self.config.min_init_matches:
             # reference resets the initializer when matches are too few
             self.init_frame = frame
+            self._init_ts = self._cur_ts
             return None
 
         xn1 = cameras.pinhole_unproject(self.K, f1.xy)
@@ -294,6 +300,8 @@ class MonocularTracker:
         self.last_pose = T2
         self.velocity = lie.se3_identity()
         self.last_kf_slot = 1
+        self.kf_timestamps[0] = self._init_ts
+        self.kf_timestamps[1] = self._cur_ts
         self.ref_kf_tracked = int(gmask.sum())
         self.frames_since_kf = 0
         if self.local_mapper is not None:
@@ -340,6 +348,7 @@ class MonocularTracker:
         self.meta.kf_uuid[s] = self.meta.new_uuids(1)[0]
         self.meta.kf_creator[s] = self.meta.agent_id
         self.last_kf_slot = s
+        self.kf_timestamps[s] = self._cur_ts
         self.frames_since_kf = 0
         self.ref_kf_tracked = int(res.n_inliers)
         if self.local_mapper is not None:
