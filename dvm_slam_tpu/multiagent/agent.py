@@ -1,0 +1,576 @@
+"""SlamAgent: the per-agent decentralized C-SLAM runtime.
+
+TPU-native `OrbSlam3Wrapper` (`src/slam_system/src/orb_slam3_wrapper.cpp`):
+owns a tracker + local mapper + BoW database + peer table + frame tree, and
+runs the reference's per-frame protocol loop (`orb_slam3_wrapper.cpp:131-148`):
+
+  updateSuccessfullyMerged -> updateIsLostFromBaseMap ->
+  sendNewKeyFrameBows -> sendNewKeyFrames (+ 5s scale-alignment timer)
+
+Protocol behavior reproduced (constants `orb_slam3_wrapper.cpp:36-38`):
+  * BoW advertisement pre-merge: own new keyframes, >=5 per batch, >=12 KFs
+    total (`:457-534`)
+  * merge detection on the lead node only, 0.9x-baseline BoW rule, the
+    higher agentId requests/merges so the merged map lands in the lower id's
+    coordinate frame (`:536-618`, `System.cc:1386-1422`)
+  * incremental keyframe sharing post-merge: own unsent KFs outside the
+    3-KF culling window, >=5 per batch, pruned submap serialization
+    (`:212-384`); receive = uuid-relinked splice + fuse + one local BA after
+    the external batch drains (`LocalMapping.cc:302-354`)
+  * SuccessfullyMerged broadcast with implicit transitive merges (`:620-731`)
+  * lost-from-base-map gating (`:733-764`)
+  * periodic RANSAC-Umeyama scale re-alignment vs the lowest merged peer,
+    >=500 shared points, AIMD backoff (`:766-833`)
+  * loop-closure trigger exchange (defined; like the reference, not called
+    from the run loop — `sendLoopClosureTriggers` is dead code upstream)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import alignment, lie
+from ..loopclosing import merge as merge_mod
+from ..mapping import local_mapping, map_state
+from ..placerec import database, vocabulary
+from ..tracking import tracker as trk
+from . import codec, messages as msgs
+from .peer import PeerTable
+from .reference_frames import ReferenceFrameManager
+
+MIN_KEY_FRAME_SHARE_SIZE = 5       # orb_slam3_wrapper.cpp:36
+MIN_BOW_SHARE_SIZE = 5             # :37
+MIN_MAP_POINTS_FOR_SCALE_ADJUSTMENT = 500  # :38
+MIN_KEY_FRAMES_FOR_MERGE = 12      # :466,551
+CULLING_WINDOW = 3                 # :243 (maxId - 3)
+SCALE_ALIGN_BASE_INTERVAL = 5.0    # 5 s wall timer, :123
+
+
+class SlamAgent:
+    def __init__(self, agent_id: int, config: trk.TrackerConfig, K, dist,
+                 voc: vocabulary.Vocabulary, transport, peer_ids,
+                 mapper: local_mapping.LocalMapper | None = None,
+                 rng_seed: int | None = None):
+        self.agent_id = agent_id
+        self.config = config
+        self.voc = voc
+        self.voc_levels, self.voc_idf = voc.device_arrays()
+        mapper = mapper or local_mapping.LocalMapper()
+        self.tracker = trk.MonocularTracker(
+            config, K, dist, local_mapper=mapper,
+            rng_seed=agent_id if rng_seed is None else rng_seed,
+        )
+        self.tracker.meta.agent_id = agent_id
+        self.peers = PeerTable(agent_id, peer_ids)
+        self.transport = transport
+        transport.register(agent_id)
+        transport.register_service(agent_id, msgs.SRV_GET_CURRENT_MAP,
+                                   self._srv_get_current_map)
+        transport.register_service(agent_id, msgs.SRV_GET_MAP_POINTS,
+                                   self._srv_get_map_points)
+        self.frames = ReferenceFrameManager(agent_id)
+        self.db = database.create(config.kf_cap, voc.n_words)
+        self._db_slots = set()
+        self._kf_bows = {}          # slot -> dense bow (own KFs)
+        self.key = jax.random.PRNGKey(1000 + agent_id)
+        self._was_lost = False
+        self._scale_interval = SCALE_ALIGN_BASE_INTERVAL
+        self._next_scale_ts = SCALE_ALIGN_BASE_INTERVAL
+        self.log = []
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def process_image(self, img, ts: float):
+        pose = self.tracker.process_image(img, ts)
+        self.run_once(ts)
+        return pose
+
+    def run_once(self, ts: float):
+        """One protocol-loop iteration (`orb_slam3_wrapper.cpp:131-148`)."""
+        self._update_bow_db()
+        self._drain_channels(ts)
+        self._update_is_lost()
+        if not self._is_lost():
+            self._send_new_key_frame_bows()
+            self._send_new_key_frames()
+            if ts >= self._next_scale_ts:
+                self._update_map_scale(ts)
+
+    # ------------------------------------------------------------------
+    # bookkeeping
+    # ------------------------------------------------------------------
+
+    @property
+    def map(self):
+        return self.tracker.map
+
+    @property
+    def meta(self):
+        return self.tracker.meta
+
+    def _is_lost(self):
+        return self.tracker.state in (trk.RECENTLY_LOST, trk.LOST)
+
+    def _own_kf_slots(self):
+        n = int(self.map.n_kf)
+        valid = np.asarray(self.map.kf_valid[:n])
+        creators = self.meta.kf_creator[:n]
+        return [i for i in range(n) if valid[i] and creators[i] == self.agent_id]
+
+    def _update_bow_db(self):
+        """Register BoWs of all new valid keyframes (own and spliced)."""
+        n = int(self.map.n_kf)
+        valid = np.asarray(self.map.kf_valid[:n])
+        for slot in range(n):
+            if slot in self._db_slots or not valid[slot]:
+                continue
+            bow = vocabulary.bow_vector(
+                self.voc_levels, self.voc_idf,
+                self.map.kf_desc[slot], self.map.kf_feat_valid[slot],
+                self.voc.branch, self.voc.n_words,
+            )
+            self.db = database.add(self.db, jnp.int32(slot), bow)
+            self._db_slots.add(slot)
+            if self.meta.kf_creator[slot] == self.agent_id:
+                self._kf_bows[slot] = bow
+
+    def _slot_of_kf_uuid(self, uuid_pair):
+        n = int(self.map.n_kf)
+        match = np.all(
+            self.meta.kf_uuid[:n] == np.asarray(uuid_pair, np.uint64), axis=1
+        )
+        idx = np.nonzero(match)[0]
+        return int(idx[0]) if len(idx) else -1
+
+    # ------------------------------------------------------------------
+    # outbound protocol
+    # ------------------------------------------------------------------
+
+    def _send_new_key_frame_bows(self):
+        """BoW advertisement to not-yet-merged peers (`:457-534`)."""
+        own = self._own_kf_slots()
+        if len(own) < MIN_KEY_FRAMES_FOR_MERGE:
+            return
+        for peer in self.peers:
+            if peer.successfully_merged or peer.is_lost_from_base_map:
+                continue
+            fresh = []
+            for slot in own:
+                u = msgs.uuid_key(self.meta.kf_uuid[slot])
+                if u in peer.sent_key_frame_bow_uuids or slot not in self._kf_bows:
+                    continue
+                bow = np.asarray(self._kf_bows[slot])
+                nz = np.nonzero(bow)[0]
+                fresh.append((u, msgs.KeyFrameBowVector(
+                    uuid=u, keys=nz.astype(np.int64), values=bow[nz].astype(np.float64)
+                )))
+            if len(fresh) < MIN_BOW_SHARE_SIZE:
+                continue
+            self.transport.publish(
+                self.agent_id, peer.agent_id, msgs.CH_NEW_KEY_FRAME_BOWS,
+                msgs.NewKeyFrameBows(self.agent_id, [b for _, b in fresh]),
+            )
+            peer.sent_key_frame_bow_uuids.update(u for u, _ in fresh)
+
+    def _sharable_own_slots(self, peer):
+        """Own KFs not yet sent, outside the 3-KF culling window (`:240-247`)."""
+        own = self._own_kf_slots()
+        if not own:
+            return []
+        max_slot = max(own)
+        out = []
+        for slot in own:
+            if slot > max_slot - CULLING_WINDOW:
+                continue
+            u = msgs.uuid_key(self.meta.kf_uuid[slot])
+            if u in peer.sent_key_frame_uuids:
+                continue
+            out.append(slot)
+        return out
+
+    def _send_new_key_frames(self):
+        """Incremental sharing to merged peers (`:212-384`)."""
+        for peer in self.peers:
+            if not peer.successfully_merged or peer.is_lost_from_base_map:
+                continue
+            slots = self._sharable_own_slots(peer)
+            if len(slots) < MIN_KEY_FRAME_SHARE_SIZE:
+                continue
+            mask = np.zeros(self.map.kf_capacity, bool)
+            mask[slots] = True
+            packet = codec.extract_submap(self.map, self.meta, mask)
+            self.transport.publish(
+                self.agent_id, peer.agent_id, msgs.CH_NEW_KEY_FRAMES,
+                msgs.NewKeyFrames(self.agent_id, packet.to_bytes()),
+            )
+            peer.sent_key_frame_uuids.update(
+                msgs.uuid_key(u) for u in packet.kf_uuid
+            )
+            peer.sent_map_point_uuids.update(
+                msgs.uuid_key(u) for u in packet.pt_uuid
+            )
+
+    def send_loop_closure_triggers(self, trigger_uuids):
+        """Parity with `sendLoopClosureTriggers` (`:862-918`) — present but,
+        as in the reference, never invoked from the run loop."""
+        for peer in self.peers:
+            if not peer.successfully_merged:
+                continue
+            fresh = [u for u in trigger_uuids
+                     if u not in peer.sent_loop_closure_trigger_uuids]
+            if not fresh:
+                continue
+            self.transport.publish(
+                self.agent_id, peer.agent_id, msgs.CH_LOOP_CLOSURE_TRIGGERS,
+                msgs.LoopClosureTriggers(self.agent_id, fresh),
+            )
+            peer.sent_loop_closure_trigger_uuids.update(fresh)
+
+    def _update_is_lost(self):
+        lost = self._is_lost()
+        if lost != self._was_lost:
+            self.transport.publish(
+                self.agent_id, None, msgs.CH_IS_LOST,
+                msgs.IsLostFromBaseMap(self.agent_id, lost),
+            )
+            self._was_lost = lost
+
+    # ------------------------------------------------------------------
+    # inbound protocol
+    # ------------------------------------------------------------------
+
+    def _drain_channels(self, ts):
+        for sender, m in self.transport.poll(self.agent_id, msgs.CH_IS_LOST):
+            if m.sender_agent_id in self.peers.peers:
+                self.peers[m.sender_agent_id].is_lost_from_base_map = m.is_lost
+        for sender, m in self.transport.poll(self.agent_id, msgs.CH_SUCCESSFULLY_MERGED):
+            self._receive_successfully_merged(m)
+        for sender, m in self.transport.poll(self.agent_id, msgs.CH_CHANGE_COORDINATE_FRAME):
+            self._receive_change_coordinate_frame(m)
+        for sender, m in self.transport.poll(self.agent_id, msgs.CH_NEW_KEY_FRAME_BOWS):
+            self._receive_new_key_frame_bows(m)
+        for sender, m in self.transport.poll(self.agent_id, msgs.CH_MAP_TO_ATTEMPT_MERGE):
+            self._receive_map_to_attempt_merge(m)
+        for sender, m in self.transport.poll(self.agent_id, msgs.CH_NEW_KEY_FRAMES):
+            self._receive_new_key_frames(m)
+        for sender, m in self.transport.poll(self.agent_id, msgs.CH_LOOP_CLOSURE_TRIGGERS):
+            pass  # triggers re-enqueue loop KFs; loop correction is disabled
+                  # upstream (LoopClosing.cc:329) — recorded for parity
+
+    def _receive_new_key_frame_bows(self, m: msgs.NewKeyFrameBows):
+        """Merge-candidate detection (`:536-618`): lead node only, both maps
+        >= 12 KFs, 0.9x-baseline BoW rule."""
+        if not self.peers.is_lead_node():
+            return
+        peer = self.peers[m.sender_agent_id]
+        if peer.successfully_merged:
+            return
+        if len(self._own_kf_slots()) < MIN_KEY_FRAMES_FOR_MERGE:
+            return
+        covis = map_state.covisibility(self.map)
+        candidates = []
+        for bow in m.bows:
+            q = jnp.zeros((self.voc.n_words,), jnp.float32).at[
+                jnp.asarray(bow.keys, jnp.int32)
+            ].set(jnp.asarray(bow.values, jnp.float32))
+            ok, best, score, baseline = database.detect_merge_possibility(
+                self.db, q, covis
+            )
+            if bool(ok):
+                candidates.append((bow.uuid, int(best), float(score)))
+        if not candidates:
+            return
+        self.log.append(("merge_candidates", m.sender_agent_id, len(candidates)))
+        if self.agent_id > m.sender_agent_id:
+            # higher id pulls the peer's map and performs the merge so the
+            # shared frame is the lower id's (System.cc:1392-1421)
+            resp = self.transport.call(
+                self.agent_id, m.sender_agent_id, msgs.SRV_GET_CURRENT_MAP,
+                msgs.GetCurrentMapRequest(self.agent_id, [c[0] for c in candidates]),
+            )
+            if resp is not None:
+                self._attempt_merge(m.sender_agent_id, resp.serialized_map,
+                                    [c[0] for c in candidates])
+        else:
+            # lower id pushes its own map to the peer, who merges into OUR frame
+            own = self._own_kf_slots()
+            mask = np.zeros(self.map.kf_capacity, bool)
+            mask[own] = True
+            packet = codec.extract_submap(self.map, self.meta, mask)
+            self.transport.publish(
+                self.agent_id, m.sender_agent_id, msgs.CH_MAP_TO_ATTEMPT_MERGE,
+                msgs.MapToAttemptMerge(self.agent_id, packet.to_bytes(),
+                                       [c[0] for c in candidates]),
+            )
+
+    def _receive_map_to_attempt_merge(self, m: msgs.MapToAttemptMerge):
+        self._attempt_merge(m.sender_agent_id, m.serialized_map,
+                            m.merge_candidate_key_frame_uuids)
+
+    def _attempt_merge(self, peer_id: int, blob: bytes, candidate_uuids):
+        """Deserialize a foreign map and try Sim3 merge on the candidate
+        keyframes (`System::AddSerializedMapToTryMerge` + LoopClosing merge)."""
+        packet = codec.MapPacket.from_bytes(blob)
+        mB, metaB = codec.materialize(packet, self.config.frontend.capacity)
+
+        # candidate pairs: candidate uuid may name either side's keyframe
+        fc = self.config.frontend
+        tried = 0
+        for cu in candidate_uuids:
+            # find the foreign KF with this uuid, else treat as local
+            match = np.all(packet.kf_uuid == np.asarray(cu, np.uint64), axis=1)
+            fidx = np.nonzero(match)[0]
+            if len(fidx):
+                kfB = int(fidx[0])
+                # best local match by BoW
+                bowB = vocabulary.bow_vector(
+                    self.voc_levels, self.voc_idf, mB.kf_desc[kfB],
+                    mB.kf_feat_valid[kfB], self.voc.branch, self.voc.n_words,
+                )
+                covis = map_state.covisibility(self.map)
+                _, kfA = database.best_group_match(
+                    self.db, bowB, jnp.zeros(self.db.valid.shape, bool), covis
+                )
+                kfA = int(kfA)
+            else:
+                kfA = self._slot_of_kf_uuid(cu)
+                if kfA < 0:
+                    continue
+                bowA = vocabulary.bow_vector(
+                    self.voc_levels, self.voc_idf, self.map.kf_desc[kfA],
+                    self.map.kf_feat_valid[kfA], self.voc.branch, self.voc.n_words,
+                )
+                # best foreign match by plain score
+                scores = [float(vocabulary.l1_score(bowA, vocabulary.bow_vector(
+                    self.voc_levels, self.voc_idf, mB.kf_desc[j],
+                    mB.kf_feat_valid[j], self.voc.branch, self.voc.n_words,
+                )[None])[0]) for j in range(packet.n_kf)]
+                kfB = int(np.argmax(scores))
+            tried += 1
+            self.key, sub = jax.random.split(self.key)
+            res = merge_mod.compute_sim3_between(
+                sub, self.map, jnp.int32(kfA), mB, jnp.int32(kfB), self.tracker.K
+            )
+            if not bool(res.ok):
+                continue
+            self._do_merge(peer_id, mB, metaB, res.S_ab, kfA)
+            return True
+        self.log.append(("merge_failed", peer_id, tried))
+        return False
+
+    def _do_merge(self, peer_id: int, mB, metaB, S_ab, weld_kf: int):
+        """Splice the foreign map in; the merged group's common frame is the
+        LOWER agent id's world (`System.cc:1392-1421`). If the peer has the
+        lower id, re-base our whole map into their frame first and announce
+        the frame change to our current group (`:920-999`)."""
+        fc = self.config.frontend
+        if peer_id < self.agent_id:
+            S_ba = lie.sim3_inv(jnp.asarray(S_ab))  # my world -> their world
+            self._apply_frame_change(peer_id, S_ba)
+            S_for_splice = lie.sim3_identity()
+        else:
+            S_for_splice = jnp.asarray(S_ab)
+
+        merged, meta, kf_map, pt_map = merge_mod.merge_maps(
+            self.map, self.meta, mB, metaB, S_for_splice
+        )
+        merged = local_mapping.fuse_duplicates(
+            merged, jnp.int32(weld_kf), self.tracker.K,
+            n_neighbors=5, n_levels=fc.n_levels, scale_factor=fc.scale_factor,
+        )
+        merged, _ = local_mapping.local_ba(
+            merged, jnp.int32(weld_kf), self.tracker.K,
+            n_local=12, n_fixed=8, n_pts=2048, iters=6,
+            n_levels=fc.n_levels, scale_factor=fc.scale_factor,
+        )
+        self.tracker.map = merged
+        self.tracker.meta = meta
+
+        peer = self.peers[peer_id]
+        peer.successfully_merged = True
+        peer.sent_key_frame_uuids.update(
+            msgs.uuid_key(u) for u in metaB.kf_uuid[: int(mB.n_kf)]
+        )
+        peer.sent_map_point_uuids.update(
+            msgs.uuid_key(u) for u in metaB.pt_uuid[: int(mB.n_pt)]
+        )
+        n = int(merged.n_kf)
+        all_uuids = [msgs.uuid_key(u) for u in meta.kf_uuid[:n]]
+        self.transport.publish(
+            self.agent_id, None, msgs.CH_SUCCESSFULLY_MERGED,
+            msgs.SuccessfullyMerged(
+                sender_agent_id=self.agent_id, receiver_agent_id=peer_id,
+                successfully_merged=True,
+                merged_key_frame_uuids=[msgs.uuid_key(u) for u in metaB.kf_uuid[: int(mB.n_kf)]],
+                all_key_frames_in_map=all_uuids,
+            ),
+        )
+        self.log.append(("merged", peer_id))
+
+    def _apply_frame_change(self, parent_agent_id: int, S):
+        """Re-base my map + trajectory into a peer's frame and re-parent the
+        frame tree (`receiveChangeCoordinateFrame`, `:951-999`)."""
+        self.tracker.map = merge_mod.transform_map(self.map, S)
+        # current pose: T_cw' composes with S^-1 like keyframe poses
+        Sc = lie.sim3_mul(lie.sim3_from_se3(self.tracker.last_pose), lie.sim3_inv(S))
+        self.tracker.last_pose = lie.se3(
+            lie.sim3_q(Sc), lie.sim3_t(Sc) / jnp.maximum(lie.sim3_s(Sc), 1e-12)
+        )
+        self.frames.set_parent_frame(parent_agent_id, np.asarray(S))
+        # inform my already-merged group (sendChangeCoordinateFrame, :920-948)
+        for p in self.peers:
+            if p.successfully_merged and p.agent_id != parent_agent_id:
+                self.transport.publish(
+                    self.agent_id, p.agent_id, msgs.CH_CHANGE_COORDINATE_FRAME,
+                    msgs.ChangeCoordinateFrame(
+                        self.agent_id, parent_agent_id,
+                        msgs.Sim3Transform.from_sim3(np.asarray(S)),
+                    ),
+                )
+
+    def _receive_change_coordinate_frame(self, m: msgs.ChangeCoordinateFrame):
+        S = jnp.asarray(m.transform.as_sim3())
+        self._apply_frame_change(m.parent_agent_id, S)
+        # implicit merge with the new parent's group (announced, :974-997)
+        if m.parent_agent_id in self.peers.peers:
+            p = self.peers[m.parent_agent_id]
+            if not p.successfully_merged:
+                p.successfully_merged = True
+                self.transport.publish(
+                    self.agent_id, None, msgs.CH_SUCCESSFULLY_MERGED,
+                    msgs.SuccessfullyMerged(
+                        sender_agent_id=self.agent_id,
+                        receiver_agent_id=m.parent_agent_id,
+                        successfully_merged=True, implicit_merge=True,
+                    ),
+                )
+
+    def _receive_successfully_merged(self, m: msgs.SuccessfullyMerged):
+        if m.sender_agent_id == self.agent_id:
+            return
+        if m.sender_agent_id in self.peers.peers:
+            sender = self.peers[m.sender_agent_id]
+            if m.receiver_agent_id == self.agent_id and m.successfully_merged:
+                # the peer merged our map into theirs: mark merged; their
+                # keyframe set is announced so we can seed dedup (:663-682)
+                sender.successfully_merged = True
+                sender.remote_successfully_merged = True
+                mine = {msgs.uuid_key(u)
+                        for u in self.meta.kf_uuid[: int(self.map.n_kf)]}
+                sender.sent_key_frame_uuids.update(
+                    u for u in (tuple(x) for x in m.all_key_frames_in_map)
+                    if u in mine
+                )
+            elif m.successfully_merged and m.receiver_agent_id in self.peers.peers:
+                # implicit transitive merge (:684-707): if I'm merged with
+                # either endpoint, I'm now merged with both
+                recv = self.peers[m.receiver_agent_id]
+                if sender.successfully_merged and not recv.successfully_merged:
+                    recv.successfully_merged = True
+                elif recv.successfully_merged and not sender.successfully_merged:
+                    sender.successfully_merged = True
+
+    def _receive_new_key_frames(self, m: msgs.NewKeyFrames):
+        """External keyframe ingestion (`:386-455` + `LocalMapping.cc:302-354`):
+        uuid-relinked splice, duplicate fusion, one local BA after the batch."""
+        packet = codec.MapPacket.from_bytes(m.serialized_map)
+        if packet.n_kf == 0:
+            return
+        mB, metaB = codec.materialize(packet, self.config.frontend.capacity)
+        merged, meta, kf_map, pt_map = merge_mod.merge_maps(
+            self.map, self.meta, mB, metaB, lie.sim3_identity()
+        )
+        fc = self.config.frontend
+        # weld around the newest external keyframe
+        new_slots = [int(kf_map[j]) for j in range(packet.n_kf) if kf_map[j] >= 0]
+        if new_slots:
+            c = jnp.int32(new_slots[-1])
+            merged = local_mapping.fuse_duplicates(
+                merged, c, self.tracker.K, n_neighbors=5,
+                n_levels=fc.n_levels, scale_factor=fc.scale_factor,
+            )
+            merged, _ = local_mapping.local_ba(
+                merged, c, self.tracker.K, n_local=12, n_fixed=8, n_pts=2048,
+                iters=4, n_levels=fc.n_levels, scale_factor=fc.scale_factor,
+            )
+            merged = map_state.update_point_stats(merged, fc.n_levels, fc.scale_factor)
+        self.tracker.map = merged
+        self.tracker.meta = meta
+        if m.sender_agent_id in self.peers.peers:
+            self.peers[m.sender_agent_id].sent_key_frame_uuids.update(
+                msgs.uuid_key(u) for u in packet.kf_uuid
+            )
+
+    # ------------------------------------------------------------------
+    # services
+    # ------------------------------------------------------------------
+
+    def _srv_get_current_map(self, caller, req: msgs.GetCurrentMapRequest):
+        """`handleGetCurrentMapRequest` (`:150-172`): deep-copied map pruned
+        to own-creator keyframes."""
+        own = self._own_kf_slots()
+        mask = np.zeros(self.map.kf_capacity, bool)
+        mask[own] = True
+        packet = codec.extract_submap(self.map, self.meta, mask)
+        return msgs.GetCurrentMapResponse(
+            self.agent_id, packet.to_bytes(),
+            req.merge_candidate_key_frame_uuids,
+        )
+
+    def _srv_get_map_points(self, caller, req):
+        n = int(self.map.n_pt)
+        valid = np.asarray(self.map.pt_valid[:n])
+        return msgs.GetMapPointsResponse(
+            uuids=self.meta.pt_uuid[:n][valid],
+            positions=np.asarray(self.map.pt_pos[:n])[valid],
+        )
+
+    # ------------------------------------------------------------------
+    # scale alignment (`updateMapScale`, `:766-833`)
+    # ------------------------------------------------------------------
+
+    def _update_map_scale(self, ts):
+        self._next_scale_ts = ts + self._scale_interval
+        target = self.peers.lowest_merged_peer()
+        if target is None or target > self.agent_id:
+            return  # align to lower-id (lead-side) peers only
+        resp = self.transport.call(self.agent_id, target, msgs.SRV_GET_MAP_POINTS,
+                                   msgs.GetMapPointsRequest(self.agent_id))
+        if resp is None or len(resp.uuids) == 0:
+            return
+        n = int(self.map.n_pt)
+        mine_valid = np.asarray(self.map.pt_valid[:n])
+        lut = {msgs.uuid_key(u): i for i, u in enumerate(self.meta.pt_uuid[:n])
+               if mine_valid[i]}
+        src_idx, dst_pos = [], []
+        for u, p in zip(resp.uuids, resp.positions):
+            i = lut.get(msgs.uuid_key(u))
+            if i is not None:
+                src_idx.append(i)
+                dst_pos.append(p)
+        if len(src_idx) < MIN_MAP_POINTS_FOR_SCALE_ADJUSTMENT:
+            return
+        src = np.asarray(self.map.pt_pos)[np.asarray(src_idx)]
+        dst = np.asarray(dst_pos, np.float32)
+        self.key, sub = jax.random.split(self.key)
+        S, inl, cnt = alignment.ransac_umeyama(
+            sub, jnp.asarray(src), jnp.asarray(dst),
+            jnp.ones(len(src_idx), bool), num_hypotheses=500,
+        )
+        s = float(S[7])
+        self.tracker.map = merge_mod.transform_map(self.map, S)
+        Sc = lie.sim3_mul(lie.sim3_from_se3(self.tracker.last_pose), lie.sim3_inv(S))
+        self.tracker.last_pose = lie.se3(
+            lie.sim3_q(Sc), lie.sim3_t(Sc) / jnp.maximum(lie.sim3_s(Sc), 1e-12)
+        )
+        # AIMD backoff around |s-1| < 0.01 (`:804-812`)
+        if abs(s - 1.0) < 0.01:
+            self._scale_interval = min(self._scale_interval * 2.0, 160.0)
+        else:
+            self._scale_interval = SCALE_ALIGN_BASE_INTERVAL
+        self._next_scale_ts = ts + self._scale_interval
+        self.log.append(("scale_aligned", target, s))
