@@ -40,3 +40,17 @@ import jax as _jax
 # Gauss-Newton diverge. Integer popcount matmuls are unaffected. Kernels that
 # can tolerate lower precision opt in locally.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# persistent compilation cache: the pipeline is many medium-size jitted
+# programs; caching across processes turns minute-scale warmup into ms.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "DVM_SLAM_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/dvm_slam_tpu_xla")
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass

@@ -1,0 +1,166 @@
+"""System facade — the `ORB_SLAM3::System` API surface
+(`orb_slam3/include/System.h:99-227`) for single-agent use, plus the atlas
+checkpoint/resume path (`System::SaveAtlas/LoadAtlas`, `System.h:222-227`,
+md5-checksummed like the reference).
+
+The multi-agent runtime (`multiagent.agent.SlamAgent`) composes the same
+pieces with the peer protocol on top; this facade is the drop-in entry point
+for a reference user's single-agent workflow:
+
+    sys = System(settings=..., agent_id=1)
+    for ts, img in sequence:
+        T_cw = sys.track_monocular(img, ts)
+    sys.save_trajectory_tum("traj.txt")
+    sys.save_atlas("atlas.dvm")
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..io import config as config_mod
+from ..io import trajectory as traj_mod
+from ..mapping import local_mapping, map_state
+from ..multiagent import codec
+from ..placerec import vocabulary
+from ..tracking import tracker as trk
+
+MONOCULAR = "monocular"
+
+
+class System:
+    def __init__(self, settings: "config_mod.SystemSettings | str",
+                 sensor: str = MONOCULAR, agent_id: int = 0,
+                 vocabulary_file: Optional[str] = None,
+                 use_viewer: bool = False):
+        if sensor != MONOCULAR:
+            raise NotImplementedError(
+                "monocular only — the reference's stereo/RGBD/inertial modes "
+                "are tracked as capability gaps for later rounds"
+            )
+        if isinstance(settings, str):
+            settings = config_mod.load_settings(settings)
+        self.settings = settings
+        self.agent_id = agent_id
+        self.voc = (vocabulary.load(vocabulary_file)
+                    if vocabulary_file else None)
+        cfg = settings.tracker_config()
+        self.mapper = local_mapping.LocalMapper()
+        self.tracker = trk.MonocularTracker(
+            cfg, settings.camera.K(),
+            np.asarray(settings.camera.dist, np.float32),
+            local_mapper=self.mapper, rng_seed=agent_id,
+        )
+        self.tracker.meta.agent_id = agent_id
+        self.use_viewer = use_viewer
+        if settings.load_atlas_from_file:
+            self.load_atlas(settings.load_atlas_from_file)
+
+    # -- tracking -------------------------------------------------------
+
+    def track_monocular(self, img, timestamp: float):
+        """`System::TrackMonocular` (`System.h:118`): grayscale (or RGB,
+        converted) image in, world->camera SE3 [7] out (None before init)."""
+        img = np.asarray(img)
+        if img.ndim == 3:
+            img = img.mean(-1)
+        c = self.settings.camera
+        if (c.new_width, c.new_height) != (None, None) and img.shape != (c.out_height, c.out_width):
+            import jax
+            img = np.asarray(jax.image.resize(
+                jnp.asarray(img, jnp.float32), (c.out_height, c.out_width), "linear"
+            ))
+        return self.tracker.process_image(img.astype(np.float32), timestamp)
+
+    def get_tracking_state(self):
+        return self.tracker.state
+
+    def get_agent_id(self):
+        return self.agent_id
+
+    @property
+    def map(self):
+        return self.tracker.map
+
+    # -- map exchange (System.cc:1382-1426 equivalents) ------------------
+
+    def serialize_map(self, own_only: bool = False) -> bytes:
+        n = int(self.map.n_kf)
+        mask = np.asarray(self.map.kf_valid).copy()
+        mask[n:] = False
+        if own_only:
+            mask &= self.tracker.meta.kf_creator == self.agent_id
+        return codec.extract_submap(self.map, self.tracker.meta, mask).to_bytes()
+
+    # -- trajectory export -----------------------------------------------
+
+    def save_trajectory_tum(self, path: str):
+        traj_mod.save_tum(path, self.tracker.trajectory)
+
+    def save_trajectory_euroc(self, path: str):
+        traj_mod.save_euroc(path, self.tracker.trajectory)
+
+    def save_trajectory_kitti(self, path: str):
+        traj_mod.save_kitti(path, self.tracker.trajectory)
+
+    # -- checkpoint / resume ----------------------------------------------
+
+    def save_atlas(self, path: str):
+        """Atlas checkpoint with md5 (`System::SaveAtlas`): map packet +
+        tracker continuation state + identity metadata."""
+        blob = self.serialize_map(own_only=False)
+        state = {
+            "map": blob,
+            "last_pose": np.asarray(self.tracker.last_pose),
+            "velocity": np.asarray(self.tracker.velocity),
+            "state": self.tracker.state,
+            "kf_timestamps": self.tracker.kf_timestamps,
+            "agent_id": self.agent_id,
+            "trajectory": self.tracker.trajectory,
+        }
+        payload = pickle.dumps(state, protocol=4)
+        digest = hashlib.md5(payload).hexdigest().encode()
+        with open(path, "wb") as f:
+            f.write(digest + b"\n")
+            f.write(payload)
+
+    def load_atlas(self, path: str):
+        with open(path, "rb") as f:
+            digest = f.readline().strip()
+            payload = f.read()
+        if hashlib.md5(payload).hexdigest().encode() != digest:
+            raise IOError(f"atlas checksum mismatch: {path}")
+        state = pickle.loads(payload)
+        packet = codec.MapPacket.from_bytes(state["map"])
+        fc = self.settings.frontend_config()
+        mB, metaB = codec.materialize(packet, fc.capacity)
+        # splice into the (empty) tracker map to respect its capacities
+        from ..loopclosing import merge as merge_mod
+        from ..geometry import lie
+
+        merged, meta, kf_map, pt_map = merge_mod.merge_maps(
+            self.tracker.map, self.tracker.meta, mB, metaB, lie.sim3_identity()
+        )
+        merged = map_state.update_point_stats(merged, fc.n_levels, fc.scale_factor)
+        self.tracker.map = merged
+        self.tracker.meta = meta
+        self.tracker.last_pose = jnp.asarray(state["last_pose"])
+        self.tracker.velocity = jnp.asarray(state["velocity"])
+        self.tracker.state = state["state"]
+        self.tracker.kf_timestamps = {
+            (int(kf_map[k]) if int(kf_map[k]) >= 0 else k): v
+            for k, v in state["kf_timestamps"].items()
+        }
+        self.tracker.trajectory = state["trajectory"]
+        self.tracker.last_kf_slot = int(merged.n_kf) - 1
+        self.tracker.ref_kf_tracked = 30
+
+    def shutdown(self):
+        if self.settings.save_atlas_to_file:
+            self.save_atlas(self.settings.save_atlas_to_file)
