@@ -365,6 +365,46 @@ def local_ba(m: map_state.MapState, center, K,
     return m._replace(kf_pose=kf_pose, pt_pos=pt_pos, kf_obs=kf_obs), chi2
 
 
+@partial(jax.jit, static_argnames=("n_kf_max", "n_pts", "iters", "n_levels", "scale_factor"))
+def global_ba(m: map_state.MapState, K,
+              n_kf_max: int = 64, n_pts: int = 8192, iters: int = 10,
+              n_levels: int = 8, scale_factor: float = 1.2):
+    """Global bundle adjustment over the first `n_kf_max` keyframe slots and
+    up to `n_pts` points (`Optimizer::GlobalBundleAdjustemnt`, `Optimizer.cc:48`;
+    spawned after merges by `LoopClosing::RunGlobalBundleAdjustment`,
+    `LoopClosing.cc:2267`). Keyframe 0 provides the gauge."""
+    scales = jnp.asarray([scale_factor ** i for i in range(n_levels)], m.pt_pos.dtype)
+    sigma2_lv = scales * scales
+    P = m.pt_capacity
+
+    rows = jnp.arange(n_kf_max, dtype=jnp.int32)
+    rmask = m.kf_valid[:n_kf_max]
+    fixed = (rows == 0) | ~rmask
+
+    sel_score = jnp.where(m.pt_valid, 1.0, 0.0)
+    _, sel = jax.lax.top_k(sel_score, n_pts)
+    sel_ok = m.pt_valid[sel]
+    inv = jnp.full((P + 1,), -1, jnp.int32).at[jnp.where(sel_ok, sel, P)].set(
+        jnp.arange(n_pts, dtype=jnp.int32)
+    )[: P + 1]
+
+    obs_pt_g = jnp.where(rmask[:, None], m.kf_obs[rows], -1)
+    obs_pt = jnp.where(obs_pt_g >= 0, inv[jnp.clip(obs_pt_g, 0)], -1)
+
+    new_poses, new_pts, chi2, inliers = ba.bundle_adjust(
+        m.kf_pose[rows], fixed, m.kf_xy[rows], sigma2_lv[m.kf_level[rows]],
+        obs_pt, m.pt_pos[sel], sel_ok, K, iters=iters,
+    )
+    upd = rmask & ~fixed
+    kf_pose = m.kf_pose.at[rows].set(
+        jnp.where(upd[:, None], new_poses, m.kf_pose[rows])
+    )
+    ptgt = jnp.where(sel_ok, sel, P)
+    ppad = jnp.concatenate([m.pt_pos, jnp.zeros((1, 3), m.pt_pos.dtype)])
+    pt_pos = ppad.at[ptgt].set(jnp.where(sel_ok[:, None], new_pts, ppad[ptgt]))[:-1]
+    return m._replace(kf_pose=kf_pose, pt_pos=pt_pos), chi2
+
+
 # --------------------------------------------------------------------------
 # host-side local mapper
 # --------------------------------------------------------------------------

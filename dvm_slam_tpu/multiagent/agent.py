@@ -72,6 +72,12 @@ class SlamAgent:
                                    self._srv_get_map_points)
         self.frames = ReferenceFrameManager(agent_id)
         self.db = database.create(config.kf_cap, voc.n_words)
+        from ..tracking.relocalization import RelocalizationService
+        self.tracker.relocalizer = RelocalizationService(
+            voc, K, config.frontend.sigma2, kf_cap=config.kf_cap,
+        )
+        from ..loopclosing.loop_detector import LoopDetector
+        self.loop_detector = LoopDetector(voc, K)
         self._db_slots = set()
         self._kf_bows = {}          # slot -> dense bow (own KFs)
         self.key = jax.random.PRNGKey(1000 + agent_id)
@@ -137,6 +143,13 @@ class SlamAgent:
             self._db_slots.add(slot)
             if self.meta.kf_creator[slot] == self.agent_id:
                 self._kf_bows[slot] = bow
+                # own-map loop detection: triggers recorded, correction
+                # disabled like the reference (LoopClosing.cc:328-339)
+                found, info = self.loop_detector.on_keyframe(
+                    self.map, self.meta, self.db, slot
+                )
+                if found:
+                    self.log.append(("loop_trigger", slot, info["match"]))
 
     def _slot_of_kf_uuid(self, uuid_pair):
         n = int(self.map.n_kf)

@@ -175,7 +175,8 @@ class MonocularTracker:
     prediction, lost handling, keyframe decision.
     """
 
-    def __init__(self, config: TrackerConfig, K, dist, local_mapper=None, rng_seed=0):
+    def __init__(self, config: TrackerConfig, K, dist, local_mapper=None,
+                 rng_seed=0, relocalizer=None):
         self.config = config
         self.K = jnp.asarray(K, jnp.float32)
         self.dist = jnp.asarray(dist, jnp.float32)
@@ -189,6 +190,7 @@ class MonocularTracker:
         self.ref_kf_tracked = 0
         self.last_kf_slot = -1
         self.local_mapper = local_mapper
+        self.relocalizer = relocalizer  # callable (map, frame) -> (ok, T, n)
         self.n_frames = 0
         self.key = jax.random.PRNGKey(rng_seed)
         self.trajectory = []  # (timestamp, T_cw np[7], state)
@@ -315,6 +317,15 @@ class MonocularTracker:
         n_inl = int(res.n_inliers)
 
         if n_inl < self.config.min_track_inliers:
+            # `Tracking::Relocalization` path (Tracking.cc:1784-1812,3276)
+            if self.relocalizer is not None:
+                ok, T, n = self.relocalizer(self.map, frame)
+                if ok:
+                    self.state = OK
+                    self.velocity = lie.se3_identity()
+                    self.last_pose = T
+                    self.frames_since_kf += 1
+                    return T
             self.state = RECENTLY_LOST if self.state == OK else LOST
             self.velocity = lie.se3_identity()
             return None

@@ -19,6 +19,9 @@ import jax
 # the axon sitecustomize registers the TPU backend before conftest runs, so
 # the env var alone is not enough — force the platform through jax.config.
 jax.config.update("jax_platforms", "cpu")
+# the persistent compile cache is for the TPU path; CPU AOT artifacts are
+# machine-feature sensitive and must not be reused across hosts
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np
 import pytest
