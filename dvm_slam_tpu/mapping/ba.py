@@ -33,22 +33,6 @@ CHI2_MONO = 5.991
 HUBER_DELTA = jnp.sqrt(CHI2_MONO)
 
 
-def _obs_residual(T, X, uv, K):
-    pc = lie.se3_apply(T, X)
-    uvp, _ = cameras.pinhole_project(K, pc)
-    return uv - uvp, pc[2]
-
-
-def _residual_fn(T, X, uv, K):
-    """Residual as a function of (camera tangent xi[6], point delta dp[3])."""
-
-    def f(xi, dp):
-        r, _ = _obs_residual(lie.se3_retract(T, xi), X + dp, uv, K)
-        return r
-
-    return f
-
-
 @partial(jax.jit, static_argnames=("iters", "stage2_iters"))
 def bundle_adjust(
     kf_pose,      # [L,7] poses of the L window keyframes (world->cam)
@@ -77,23 +61,35 @@ def bundle_adjust(
     obs_valid = obs_pt >= 0
     pidx = jnp.clip(obs_pt, 0)
 
-    zero6 = jnp.zeros(6, dtype)
-    zero3 = jnp.zeros(3, dtype)
-
     def compute_system(poses, points, active, robust=True):
+        """Closed-form residuals + Jacobians (same derivation as
+        tracking.pose_opt._residuals_and_jacobians; additionally
+        Jp = dr/dX = -A @ R since pc = R X + t)."""
         Xo = points[pidx]  # [L,F,3]
+        pc = jax.vmap(lambda T, Xs: jax.vmap(lambda X: lie.se3_apply(T, X))(Xs))(
+            poses, Xo
+        )  # [L,F,3]
+        x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+        zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        inv_z = 1.0 / zs
+        u_pred = K[0] * x * inv_z + K[2]
+        v_pred = K[1] * y * inv_z + K[3]
+        r = kf_xy - jnp.stack([u_pred, v_pred], axis=-1)
 
-        def per_obs(T, X, uv):
-            f = _residual_fn(T, X, uv, K)
-            r = f(zero6, zero3)
-            Jc = jax.jacfwd(f, argnums=0)(zero6, zero3)  # [2,6]
-            Jp = jax.jacfwd(f, argnums=1)(zero6, zero3)  # [2,3]
-            z = lie.se3_apply(T, X)[2]
-            return r, Jc, Jp, z
-
-        r, Jc, Jp, z = jax.vmap(
-            lambda T, Xs, uvs: jax.vmap(lambda X, uv: per_obs(T, X, uv))(Xs, uvs)
-        )(poses, Xo, kf_xy)  # r [L,F,2], Jc [L,F,2,6], Jp [L,F,2,3], z [L,F]
+        fx, fy = K[0], K[1]
+        zero = jnp.zeros_like(x)
+        A = jnp.stack(
+            [
+                jnp.stack([fx * inv_z, zero, -fx * x * inv_z * inv_z], -1),
+                jnp.stack([zero, fy * inv_z, -fy * y * inv_z * inv_z], -1),
+            ],
+            axis=-2,
+        )  # [L,F,2,3]
+        Jv = -A
+        Jw = jnp.einsum("lfij,lfjk->lfik", A, lie.hat(pc))
+        Jc = jnp.concatenate([Jv, Jw], axis=-1)                 # [L,F,2,6]
+        R = jax.vmap(lambda T: lie.quat_to_matrix(lie.se3_q(T)))(poses)  # [L,3,3]
+        Jp = -jnp.einsum("lfij,ljk->lfik", A, R)                # [L,F,2,3]
 
         chi2 = jnp.sum(r * r, axis=-1) * info
         w = info * active

@@ -31,16 +31,34 @@ def _residual(T, X, uv, K):
 
 def _residuals_and_jacobians(T, pts, uv, K):
     """Batched residuals [N,2], depths [N], Jacobians [N,2,6] wrt the
-    left-multiplied tangent at zero."""
+    left-multiplied se3 tangent (v, omega) at zero — closed form.
 
-    # forward-mode: jacfwd over the 6-dim tangent, vmapped over points
-    def f_one(xi, X, u):
-        r, z = _residual(lie.se3_retract(T, xi), X, u, K)
-        return r
+    With pc = T X, r = uv - pi(pc), A = d pi/d pc:
+      dr/dv     = -A
+      dr/domega = A @ hat(pc)
+    (left perturbation: pc' ~= pc + v + omega x pc).
+    """
+    pc = jax.vmap(lambda X: lie.se3_apply(T, X))(pts)          # [N,3]
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    inv_z = 1.0 / zs
+    u_pred = K[0] * x * inv_z + K[2]
+    v_pred = K[1] * y * inv_z + K[3]
+    r = uv - jnp.stack([u_pred, v_pred], axis=-1)
 
-    zero = jnp.zeros(6, T.dtype)
-    r, z = jax.vmap(lambda X, u: _residual(T, X, u, K))(pts, uv)
-    J = jax.vmap(lambda X, u: jax.jacfwd(f_one)(zero, X, u))(pts, uv)
+    fx, fy = K[0], K[1]
+    zero = jnp.zeros_like(x)
+    # A = d pi / d pc, [N,2,3]
+    A = jnp.stack(
+        [
+            jnp.stack([fx * inv_z, zero, -fx * x * inv_z * inv_z], -1),
+            jnp.stack([zero, fy * inv_z, -fy * y * inv_z * inv_z], -1),
+        ],
+        axis=-2,
+    )
+    Jv = -A
+    Jw = jnp.einsum("nij,njk->nik", A, lie.hat(pc))
+    J = jnp.concatenate([Jv, Jw], axis=-1)                      # [N,2,6]
     return r, z, J
 
 

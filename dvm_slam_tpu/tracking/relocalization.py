@@ -38,6 +38,12 @@ class RelocalizationService:
         self._slots = set()
         self.key = jax.random.PRNGKey(4242)
 
+    def reset(self, kf_cap: int):
+        """Clear the database (called when the tracker starts a new submap)."""
+        if self._own_db:
+            self.db = database.create(kf_cap, self.voc.n_words)
+            self._slots = set()
+
     def _refresh(self, m):
         if not self._own_db:
             return

@@ -191,7 +191,9 @@ class MonocularTracker:
         self.last_kf_slot = -1
         self.local_mapper = local_mapper
         self.relocalizer = relocalizer  # callable (map, frame) -> (ok, T, n)
+        self.atlas = None               # optional mapping.atlas.Atlas
         self.n_frames = 0
+        self._lost_frames = 0
         self.key = jax.random.PRNGKey(rng_seed)
         self.trajectory = []  # (timestamp, T_cw np[7], state)
         self.kf_timestamps = {}  # kf slot -> frame timestamp
@@ -328,8 +330,17 @@ class MonocularTracker:
                     return T
             self.state = RECENTLY_LOST if self.state == OK else LOST
             self.velocity = lie.se3_identity()
+            self._lost_frames += 1
+            # `Tracking::CreateMapInAtlas` (Tracking.cc:2409): persistent LOST
+            # with a mature map -> stash it and start a fresh submap
+            if (
+                self.atlas is not None and self.state == LOST
+                and self._lost_frames >= 5 and int(self.map.n_kf) >= 10
+            ):
+                self._new_map_in_atlas()
             return None
 
+        self._lost_frames = 0
         self.state = OK
         self.map = update_visibility(self.map, res.visible, res.found)
         self.velocity = lie.se3_mul(res.T_cw, lie.se3_inv(self.last_pose))
@@ -339,6 +350,28 @@ class MonocularTracker:
         if self._need_new_keyframe(n_inl):
             self._create_keyframe(frame, res)
         return res.T_cw
+
+    def _new_map_in_atlas(self):
+        """Stash the active map and restart on a fresh submap
+        (`Tracking::CreateMapInAtlas`, `Tracking.cc:2409`)."""
+        self.atlas.stash_active(self.map, self.meta, self.kf_timestamps)
+        cfg = self.config
+        self.map = map_state.create(cfg.kf_cap, cfg.pt_cap, cfg.frontend.capacity)
+        self.meta = map_state.MapMeta.create(cfg.kf_cap, cfg.pt_cap,
+                                             agent_id=self.meta.agent_id)
+        self.state = NOT_INITIALIZED
+        self.init_frame = None
+        self.velocity = lie.se3_identity()
+        self.last_pose = lie.se3_identity()
+        self.kf_timestamps = {}
+        self.frames_since_kf = 0
+        self.ref_kf_tracked = 0
+        self.last_kf_slot = -1
+        self._lost_frames = 0
+        if self.local_mapper is not None:
+            self.local_mapper._kf_count = 0
+        if self.relocalizer is not None and hasattr(self.relocalizer, "reset"):
+            self.relocalizer.reset(cfg.kf_cap)
 
     def _need_new_keyframe(self, n_inliers: int):
         """`Tracking::NeedNewKeyFrame` mono gates (`Tracking.cc:2770`)."""
@@ -364,3 +397,28 @@ class MonocularTracker:
         self.ref_kf_tracked = int(res.n_inliers)
         if self.local_mapper is not None:
             self.local_mapper.on_new_keyframe(self, s)
+        # atlas merge-back: weld the fresh submap into a stored one when
+        # place recognition + Sim3 verification succeed (LoopClosing's
+        # active-to-stored map merge)
+        if self.atlas is not None and self.atlas.inactive:
+            out = self.atlas.try_merge_back(self.map, self.meta, self.last_kf_slot)
+            if out is not None:
+                merged, meta, kf_map, S_ab, stored_ts = out
+                self.map = merged
+                self.meta = meta
+                Sj = jnp.asarray(S_ab)
+                Sc = lie.sim3_mul(lie.sim3_from_se3(self.last_pose), lie.sim3_inv(Sj))
+                self.last_pose = lie.se3(
+                    lie.sim3_q(Sc),
+                    lie.sim3_t(Sc) / jnp.maximum(lie.sim3_s(Sc), 1e-12),
+                )
+                self.velocity = lie.se3_identity()
+                new_ts = dict(stored_ts)
+                for slot, t in self.kf_timestamps.items():
+                    ns = int(kf_map[slot])
+                    if ns >= 0:
+                        new_ts[ns] = t
+                self.kf_timestamps = new_ts
+                self.last_kf_slot = int(kf_map[self.last_kf_slot])
+                if self.relocalizer is not None and hasattr(self.relocalizer, "reset"):
+                    self.relocalizer.reset(self.config.kf_cap)  # slots changed
