@@ -41,6 +41,9 @@ class FrontendConfig:
     ini_th: float = 20.0
     min_th: float = 7.0
     cell: int = 35
+    # None = auto: the fused Pallas orientation+descriptor kernel on TPU,
+    # the XLA gather path elsewhere
+    use_pallas: bool | None = None
 
     @property
     def scales(self):
@@ -90,15 +93,23 @@ def extract(img, config: FrontendConfig):
     levels = pyramid.build_pyramid(img, config.n_levels, config.scale_factor)
     budgets = config.level_budgets
     scales = config.scales
+    use_pallas = config.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
 
     all_xy, all_lv, all_ang, all_resp, all_desc, all_valid = [], [], [], [], [], []
     for lv, (im, budget, s) in enumerate(zip(levels, budgets, scales)):
         xy, score, valid = fast.detect_level(
             im, config.ini_th, config.min_th, config.cell, budget
         )
-        ang = orb_descriptor.orientations(im, xy)
         blur = pyramid.gaussian_blur(im)
-        desc = orb_descriptor.descriptors(blur, xy, ang)
+        if use_pallas:
+            from ..ops import pallas_orb
+
+            ang, desc = pallas_orb.orient_and_describe(im, blur, xy)
+        else:
+            ang = orb_descriptor.orientations(im, xy)
+            desc = orb_descriptor.descriptors(blur, xy, ang)
         all_xy.append(xy * s)  # back to level-0 pixel coordinates
         all_lv.append(jnp.full((budget,), lv, jnp.int32))
         all_ang.append(ang)
