@@ -54,35 +54,36 @@ def main():
         return
 
     # ---- timed: the steady-state per-frame hot path --------------------
-    frame_j = make_frame(jnp.asarray(imgs[-1]), t.K, t.dist, fc)
+    # rotate over distinct recent frames: repeated identical dispatches can
+    # be elided by the device transport, inflating FPS
     T_pred = t.last_pose
     m = t.map
+    pool = [jnp.asarray(im) for im in imgs[-10:]]
 
     def hot(img):
         f = make_frame(img, t.K, t.dist, fc)
         return trk.track_frame(m, f, T_pred, t.K, cfg)
 
-    img_dev = jnp.asarray(imgs[-1])
-    r = hot(img_dev)
+    r = hot(pool[0])
     jax.block_until_ready(r.T_cw)
 
     n_iter = 50
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        r = hot(img_dev)
+    for i in range(n_iter):
+        r = hot(pool[i % len(pool)])
     jax.block_until_ready(r.T_cw)
     dt = (time.perf_counter() - t0) / n_iter
     fps = 1.0 / dt
 
     # ---- local BA timing (secondary, reported inside the same line) ----
-    center = jnp.int32(int(m.n_kf) - 1)
-    mm, chi2 = local_mapping.local_ba(m, center, t.K, n_local=12, n_fixed=8,
+    centers = [jnp.int32(max(int(m.n_kf) - 1 - i, 1)) for i in range(4)]
+    mm, chi2 = local_mapping.local_ba(m, centers[0], t.K, n_local=12, n_fixed=8,
                                       n_pts=4096, iters=6)
     jax.block_until_ready(mm.kf_pose)
     t0 = time.perf_counter()
-    for _ in range(10):
-        mm, chi2 = local_mapping.local_ba(m, center, t.K, n_local=12, n_fixed=8,
-                                          n_pts=4096, iters=6)
+    for i in range(10):
+        mm, chi2 = local_mapping.local_ba(m, centers[i % 4], t.K, n_local=12,
+                                          n_fixed=8, n_pts=4096, iters=6)
     jax.block_until_ready(mm.kf_pose)
     ba_ms = (time.perf_counter() - t0) / 10 * 1000.0
 

@@ -128,11 +128,28 @@ def extract(img, config: FrontendConfig):
     )
 
 
-@partial(jax.jit, static_argnames=("config",))
-def make_frame(img, K, dist, config: FrontendConfig):
-    """Full mono frame construction (`Frame.cc:371`): extract + undistort."""
+@partial(jax.jit, static_argnames=("config", "camera_model"))
+def make_frame(img, K, dist, config: FrontendConfig, camera_model: str = "pinhole"):
+    """Full mono frame construction (`Frame.cc:371`): extract + undistort.
+
+    camera_model:
+      * "pinhole": radial-tangential keypoint undistortion
+        (`Frame::UndistortKeyPoints` semantics).
+      * "kb8": fisheye keypoints are RECTIFIED onto the ideal pinhole with
+        the same (fx,fy,cx,cy) — kb8_unproject then pinhole re-projection.
+        The reference instead keeps KB8 projections throughout (needed for
+        its stereo-fisheye overlap handling); for the monocular pipeline the
+        rectified-keypoint formulation is behaviorally equivalent within the
+        valid FOV and lets every downstream stage stay pinhole. `dist` holds
+        the four theta-polynomial coefficients k1..k4.
+    """
     from ..geometry import cameras
 
     f = extract(img, config)
-    xy_un = cameras.undistort_pixels(K, dist, f.xy_raw)
+    if camera_model == "kb8":
+        params = jnp.concatenate([K[:4], dist[:4]])
+        rays = cameras.kb8_unproject(params, f.xy_raw)
+        xy_un, _ = cameras.pinhole_project(K[:4], rays)
+    else:
+        xy_un = cameras.undistort_pixels(K, dist, f.xy_raw)
     return f._replace(xy=jnp.where(f.valid[:, None], xy_un, f.xy_raw))

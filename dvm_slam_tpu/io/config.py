@@ -91,6 +91,7 @@ class SystemSettings:
             frontend=self.frontend_config(),
             kf_cap=self.kf_capacity, pt_cap=self.pt_capacity,
             fps=self.camera.fps,
+            camera_model=self.camera.model,
         )
 
 

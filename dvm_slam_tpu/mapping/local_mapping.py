@@ -276,10 +276,25 @@ def cull_points(m: map_state.MapState, current_kf):
 # windowed bundle adjustment
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("n_local", "n_fixed", "n_pts", "iters", "n_levels", "scale_factor"))
+def _compact_obs(kf_xy, kf_sig, obs_pt, n_obs: int):
+    """Keep the `n_obs` best slots per keyframe row (valid observations
+    first). The feature table is mostly masked slots — compaction cuts every
+    per-observation gather/scatter in the BA iterations proportionally."""
+    score = (obs_pt >= 0).astype(jnp.float32)
+    _, sel = jax.lax.top_k(score, n_obs)              # [L,n_obs]
+    take = lambda a: jnp.take_along_axis(a, sel, axis=1)
+    return (
+        jnp.take_along_axis(kf_xy, sel[..., None], axis=1),
+        take(kf_sig),
+        take(obs_pt),
+    )
+
+
+@partial(jax.jit, static_argnames=("n_local", "n_fixed", "n_pts", "iters", "n_levels", "scale_factor", "n_obs"))
 def local_ba(m: map_state.MapState, center, K,
              n_local: int = 16, n_fixed: int = 16, n_pts: int = 4096,
-             iters: int = 8, n_levels: int = 8, scale_factor: float = 1.2):
+             iters: int = 6, n_levels: int = 8, scale_factor: float = 1.2,
+             n_obs: int = 512):
     """Covisibility-window BA around `center` (`Optimizer::LocalBundleAdjustment`
     window semantics, `Optimizer.cc:1030-1107`): local = center + covisible
     keyframes; points = those observed by local keyframes; fixed = other
@@ -336,9 +351,19 @@ def local_ba(m: map_state.MapState, center, K,
     pts = m.pt_pos[sel]
     pt_opt = sel_ok
 
-    new_poses, new_pts, chi2, inliers = ba.bundle_adjust(
-        poses, fixed, kf_xy, kf_sig, obs_pt, pts, pt_opt, K, iters=iters
+    F = m.feat_capacity
+    no = min(n_obs, F)
+    kf_xy_c, kf_sig_c, obs_pt_c = _compact_obs(kf_xy, kf_sig, obs_pt, no)
+    new_poses, new_pts, chi2, inliers_c = ba.bundle_adjust(
+        poses, fixed, kf_xy_c, kf_sig_c, obs_pt_c, pts, pt_opt, K, iters=iters
     )
+    # expand the compacted inlier mask back onto the full feature table
+    score = (obs_pt >= 0).astype(jnp.float32)
+    _, selc = jax.lax.top_k(score, no)
+    LX = obs_pt.shape[0]
+    inliers = jnp.ones(obs_pt.shape, bool).at[
+        jnp.arange(LX)[:, None], selc
+    ].set(inliers_c) & (obs_pt >= 0)  # non-compacted slots keep their obs
 
     # scatter back poses (only non-fixed local rows) and points
     upd = rmask & ~fixed

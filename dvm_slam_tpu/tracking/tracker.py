@@ -43,6 +43,7 @@ class TrackerConfig:
     min_track_inliers: int = 15   # lost below this
     kf_ref_ratio: float = 0.9     # Tracking.cc:2849 thRefRatio mono
     kf_min_inliers: int = 15
+    camera_model: str = "pinhole"  # "pinhole" | "kb8" (rectified keypoints)
 
     @property
     def max_frames_between_kf(self):
@@ -206,7 +207,8 @@ class MonocularTracker:
         """`System::TrackMonocular` equivalent: grayscale [H,W] float32 in,
         camera pose out (None until initialized)."""
         frame = make_frame(jnp.asarray(img, jnp.float32), self.K, self.dist,
-                           self.config.frontend)
+                           self.config.frontend,
+                           camera_model=self.config.camera_model)
         return self.process_frame(frame, timestamp)
 
     def process_frame(self, frame: Frame, timestamp: float):
