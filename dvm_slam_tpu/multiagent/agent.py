@@ -52,7 +52,15 @@ class SlamAgent:
     def __init__(self, agent_id: int, config: trk.TrackerConfig, K, dist,
                  voc: vocabulary.Vocabulary, transport, peer_ids,
                  mapper: local_mapping.LocalMapper | None = None,
-                 rng_seed: int | None = None):
+                 rng_seed: int | None = None,
+                 post_merge_pose_graph: bool = False,
+                 post_merge_global_ba: bool = False):
+        # post-merge optimization stages of `LoopClosing::MergeLocal`
+        # (`LoopClosing.cc:1747` essential graph, `:1796` GBA thread) —
+        # opt-in; the welding local BA alone matches the accuracy gates of
+        # the e2e tests and keeps merge latency low
+        self.post_merge_pose_graph = post_merge_pose_graph
+        self.post_merge_global_ba = post_merge_global_ba
         self.agent_id = agent_id
         self.config = config
         self.voc = voc
@@ -84,6 +92,7 @@ class SlamAgent:
         self._was_lost = False
         self._scale_interval = SCALE_ALIGN_BASE_INTERVAL
         self._next_scale_ts = SCALE_ALIGN_BASE_INTERVAL
+        self._peer_merges = set()   # frozenset({a,b}) merge announcements seen
         self.log = []
 
     # ------------------------------------------------------------------
@@ -327,6 +336,8 @@ class SlamAgent:
     def _attempt_merge(self, peer_id: int, blob: bytes, candidate_uuids):
         """Deserialize a foreign map and try Sim3 merge on the candidate
         keyframes (`System::AddSerializedMapToTryMerge` + LoopClosing merge)."""
+        if self.peers[peer_id].successfully_merged:
+            return False  # a second in-flight copy of an already-done merge
         packet = codec.MapPacket.from_bytes(blob)
         mB, metaB = codec.materialize(packet, self.config.frontend.capacity)
 
@@ -400,11 +411,21 @@ class SlamAgent:
             n_local=12, n_fixed=8, n_pts=2048, iters=6,
             n_levels=fc.n_levels, scale_factor=fc.scale_factor,
         )
+        if self.post_merge_pose_graph:
+            merged = self._run_pose_graph(merged, weld_kf)
+        if self.post_merge_global_ba:
+            merged, _ = local_mapping.global_ba(
+                merged, self.tracker.K,
+                n_kf_max=min(64, self.config.kf_cap),
+                n_pts=min(8192, self.config.pt_cap), iters=8,
+                n_levels=fc.n_levels, scale_factor=fc.scale_factor,
+            )
         self.tracker.map = merged
         self.tracker.meta = meta
 
         peer = self.peers[peer_id]
         peer.successfully_merged = True
+        self._peer_merges.add(frozenset({self.agent_id, peer_id}))
         peer.sent_key_frame_uuids.update(
             msgs.uuid_key(u) for u in metaB.kf_uuid[: int(mB.n_kf)]
         )
@@ -424,6 +445,39 @@ class SlamAgent:
         )
         self.log.append(("merged", peer_id))
 
+    def _run_pose_graph(self, m, anchor_kf: int):
+        """Sim3 essential-graph optimization over the merged map
+        (`Optimizer::OptimizeEssentialGraph` via loopclosing.pose_graph),
+        anchored at the weld keyframe + keyframe 0."""
+        from ..loopclosing import pose_graph
+
+        covis = map_state.covisibility(m)
+        Kcap = m.kf_capacity
+        ei, ej = pose_graph.build_essential_edges(
+            covis, np.asarray(m.kf_valid), min_weight=50,
+            spanning_parent=list(range(-1, Kcap - 1)),
+        )
+        if len(ei) == 0:
+            return m
+        poses = jax.vmap(lie.sim3_from_se3)(m.kf_pose)
+        meas = jax.vmap(lambda a, b: lie.sim3_mul(poses[a], lie.sim3_inv(poses[b])))(
+            jnp.asarray(ei), jnp.asarray(ej)
+        )
+        fixed = jnp.zeros((Kcap,), bool).at[0].set(True).at[anchor_kf].set(True)
+        fixed = fixed | ~m.kf_valid
+        new_poses, _ = pose_graph.optimize_pose_graph(
+            poses, fixed, jnp.asarray(ei), jnp.asarray(ej), meas,
+            jnp.ones((len(ei),), bool), iters=12,
+        )
+        pts = pose_graph.correct_points(m.pt_pos, m.pt_ref_kf, m.pt_valid,
+                                        poses, new_poses)
+        return m._replace(
+            kf_pose=jnp.where(m.kf_valid[:, None],
+                              pose_graph.se3_from_sim3_poses(new_poses),
+                              m.kf_pose),
+            pt_pos=pts,
+        )
+
     def _apply_frame_change(self, parent_agent_id: int, S):
         """Re-base my map + trajectory into a peer's frame and re-parent the
         frame tree (`receiveChangeCoordinateFrame`, `:951-999`)."""
@@ -433,6 +487,7 @@ class SlamAgent:
         self.tracker.last_pose = lie.se3(
             lie.sim3_q(Sc), lie.sim3_t(Sc) / jnp.maximum(lie.sim3_s(Sc), 1e-12)
         )
+        self.tracker.rebase_history(S)
         self.frames.set_parent_frame(parent_agent_id, np.asarray(S))
         # inform my already-merged group (sendChangeCoordinateFrame, :920-948)
         for p in self.peers:
@@ -465,6 +520,10 @@ class SlamAgent:
     def _receive_successfully_merged(self, m: msgs.SuccessfullyMerged):
         if m.sender_agent_id == self.agent_id:
             return
+        if m.successfully_merged:
+            self._peer_merges.add(
+                frozenset({m.sender_agent_id, m.receiver_agent_id})
+            )
         if m.sender_agent_id in self.peers.peers:
             sender = self.peers[m.sender_agent_id]
             if m.receiver_agent_id == self.agent_id and m.successfully_merged:
@@ -478,14 +537,35 @@ class SlamAgent:
                     u for u in (tuple(x) for x in m.all_key_frames_in_map)
                     if u in mine
                 )
-            elif m.successfully_merged and m.receiver_agent_id in self.peers.peers:
-                # implicit transitive merge (:684-707): if I'm merged with
-                # either endpoint, I'm now merged with both
-                recv = self.peers[m.receiver_agent_id]
-                if sender.successfully_merged and not recv.successfully_merged:
-                    recv.successfully_merged = True
-                elif recv.successfully_merged and not sender.successfully_merged:
-                    sender.successfully_merged = True
+        self._transitive_merge_closure()
+
+    def _transitive_merge_closure(self):
+        """Implicit transitive merges (`orb_slam3_wrapper.cpp:684-707`): any
+        peer connected to my merged group through announced peer-peer merges
+        is merged with me too. Runs to fixpoint over the announcement set."""
+        changed = True
+        while changed:
+            changed = False
+            merged = {self.agent_id} | {
+                p.agent_id for p in self.peers if p.successfully_merged
+            }
+            for p in self.peers:
+                if p.successfully_merged:
+                    continue
+                if any(frozenset({p.agent_id, q}) in self._peer_merges
+                       for q in merged):
+                    p.successfully_merged = True
+                    changed = True
+                    self._peer_merges.add(frozenset({self.agent_id, p.agent_id}))
+                    self.log.append(("implicit_merge", p.agent_id))
+                    self.transport.publish(
+                        self.agent_id, None, msgs.CH_SUCCESSFULLY_MERGED,
+                        msgs.SuccessfullyMerged(
+                            sender_agent_id=self.agent_id,
+                            receiver_agent_id=p.agent_id,
+                            successfully_merged=True, implicit_merge=True,
+                        ),
+                    )
 
     def _receive_new_key_frames(self, m: msgs.NewKeyFrames):
         """External keyframe ingestion (`:386-455` + `LocalMapping.cc:302-354`):
@@ -580,6 +660,7 @@ class SlamAgent:
         self.tracker.last_pose = lie.se3(
             lie.sim3_q(Sc), lie.sim3_t(Sc) / jnp.maximum(lie.sim3_s(Sc), 1e-12)
         )
+        self.tracker.rebase_history(S)
         # AIMD backoff around |s-1| < 0.01 (`:804-812`)
         if abs(s - 1.0) < 0.01:
             self._scale_interval = min(self._scale_interval * 2.0, 160.0)

@@ -353,6 +353,23 @@ class MonocularTracker:
             self._create_keyframe(frame, res)
         return res.T_cw
 
+    def rebase_history(self, S):
+        """Re-base the recorded trajectory by a world-level Sim3 (applied when
+        the agent's coordinate frame changes after a merge or a scale
+        alignment, so the history stays in ONE frame — the reference instead
+        tags each pose with its frame id and filters at evaluation time)."""
+        Sj = jnp.asarray(S)
+        Sinv = lie.sim3_inv(Sj)
+        out = []
+        for ts, T, state in self.trajectory:
+            Sc = lie.sim3_mul(lie.sim3_from_se3(jnp.asarray(T)), Sinv)
+            T2 = lie.se3(
+                lie.sim3_q(Sc),
+                lie.sim3_t(Sc) / jnp.maximum(lie.sim3_s(Sc), 1e-12),
+            )
+            out.append((ts, np.asarray(T2), state))
+        self.trajectory = out
+
     def _new_map_in_atlas(self):
         """Stash the active map and restart on a fresh submap
         (`Tracking::CreateMapInAtlas`, `Tracking.cc:2409`)."""
