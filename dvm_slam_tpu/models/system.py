@@ -109,6 +109,16 @@ class System:
     def save_trajectory_kitti(self, path: str):
         traj_mod.save_kitti(path, self.tracker.trajectory)
 
+    def save_keyframe_trajectory_tum(self, path: str):
+        """`System::SaveKeyFrameTrajectoryTUM`: keyframe poses only."""
+        m = self.map
+        rows = []
+        for slot, ts in sorted(self.tracker.kf_timestamps.items(),
+                               key=lambda kv: kv[1]):
+            if slot < int(m.n_kf) and bool(m.kf_valid[slot]):
+                rows.append((ts, np.asarray(m.kf_pose[slot]), "KF"))
+        traj_mod.save_tum(path, rows)
+
     # -- checkpoint / resume ----------------------------------------------
 
     def save_atlas(self, path: str):
