@@ -207,6 +207,43 @@ def add_points(m: MapState, pos, desc, normal, min_dist, max_dist, ref_kf, valid
     return m, jnp.where(w, slot, -1)
 
 
+def check_invariants(m: MapState) -> list:
+    """Runtime consistency checks (`Map::CheckEssentialGraph` role,
+    `Map.h:129-130`): returns a list of violation strings (empty = healthy).
+    Host-side debug utility, not jitted."""
+    import numpy as np
+
+    errs = []
+    n_kf, n_pt = int(m.n_kf), int(m.n_pt)
+    kf_valid = np.asarray(m.kf_valid)
+    pt_valid = np.asarray(m.pt_valid)
+    obs = np.asarray(m.kf_obs)
+    if kf_valid[n_kf:].any():
+        errs.append("kf_valid set beyond n_kf")
+    if pt_valid[n_pt:].any():
+        errs.append("pt_valid set beyond n_pt")
+    live = obs[kf_valid]
+    live = live[live >= 0]
+    if live.size and live.max() >= m.pt_capacity:
+        errs.append("kf_obs points past pt capacity")
+    if live.size:
+        dead = ~pt_valid[live]
+        if dead.any():
+            errs.append(f"{int(dead.sum())} observations reference invalid points")
+    ref = np.asarray(m.pt_ref_kf)[pt_valid]
+    if ref.size and (ref >= 0).any():
+        bad = ref[(ref >= 0) & ((ref >= m.kf_capacity) | ~kf_valid[np.clip(ref, 0, m.kf_capacity - 1)])]
+        if bad.size:
+            errs.append(f"{bad.size} points reference invalid ref keyframes")
+    pos = np.asarray(m.pt_pos)[pt_valid]
+    if pos.size and not np.isfinite(pos).all():
+        errs.append("non-finite point positions")
+    poses = np.asarray(m.kf_pose)[kf_valid]
+    if poses.size and not np.isfinite(poses).all():
+        errs.append("non-finite keyframe poses")
+    return errs
+
+
 def predict_scale(dist, max_dist, n_levels: int, scale_factor: float):
     """`MapPoint::PredictScale`: level = ceil(log(max_dist/dist)/log(sf))."""
     ratio = jnp.maximum(max_dist, 1e-9) / jnp.maximum(dist, 1e-9)
