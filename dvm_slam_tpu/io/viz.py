@@ -69,6 +69,37 @@ def keyframe_markers(m: map_state.MapState, meta=None, changed_since=None,
     return out
 
 
+def draw_frame(img, frame, obs=None):
+    """`FrameDrawer::DrawFrame` role (`orb_slam3/src/FrameDrawer.cc`): render
+    the grayscale frame with keypoints overlaid — green squares for features
+    matched to map points, blue dots for unmatched detections. Returns an
+    RGB uint8 array."""
+    import numpy as np
+
+    h, w = np.asarray(img).shape
+    rgb = np.repeat(np.clip(np.asarray(img), 0, 255).astype(np.uint8)[..., None], 3, -1)
+    xy = np.asarray(frame.xy)
+    valid = np.asarray(frame.valid)
+    matched = (np.asarray(obs) >= 0) if obs is not None else np.zeros(len(xy), bool)
+
+    def mark(x, y, color, r):
+        x0, x1 = max(x - r, 0), min(x + r + 1, w)
+        y0, y1 = max(y - r, 0), min(y + r + 1, h)
+        rgb[y0:y1, x0:x1] = color
+
+    for i in range(len(xy)):
+        if not valid[i]:
+            continue
+        x, y = int(round(xy[i, 0])), int(round(xy[i, 1]))
+        if not (0 <= x < w and 0 <= y < h):
+            continue
+        if matched[i]:
+            mark(x, y, (0, 220, 0), 2)
+        else:
+            mark(x, y, (60, 120, 255), 1)
+    return rgb
+
+
 def frame_tree(agents):
     """Sim3 TF tree of all agents (the `Sim3TransformStamped` broadcast)."""
     return {a.agent_id: a.frames.tree() for a in agents}

@@ -122,3 +122,18 @@ class TestVizProfiling:
         rep = t.report()
         assert "stage_a" in rep and rep["stage_a"]["n"] == 1
         assert slow == ["stage_a"]
+
+
+class TestFrameDrawer:
+    def test_draw_frame_overlay(self, rng):
+        import jax.numpy as jnp
+        from dvm_slam_tpu.frontend.extractor import FrontendConfig, extract
+
+        img = (rng.rand(96, 128) * 255).astype(np.float32)
+        cfg = FrontendConfig(height=96, width=128, n_features=100, n_levels=3)
+        f = extract(jnp.asarray(img), cfg)
+        obs = np.full(f.capacity, -1, np.int32)
+        obs[:5] = 1  # pretend first 5 features track map points
+        rgb = viz.draw_frame(img, f, obs)
+        assert rgb.shape == (96, 128, 3) and rgb.dtype == np.uint8
+        assert (rgb[..., 1] == 220).any() or (rgb[..., 2] == 255).any()
