@@ -103,9 +103,10 @@ class LoopDetector:
         points. Returns the corrected map."""
         K = m.kf_capacity
         covis = map_state.covisibility(m)
+        parent = pose_graph.compute_spanning_tree(covis, np.asarray(m.kf_valid))
         ei, ej = pose_graph.build_essential_edges(
             covis, np.asarray(m.kf_valid), min_weight=30,
-            spanning_parent=list(range(-1, K - 1)),
+            spanning_parent=parent,
             extra_edges=[(int(kf_slot), int(match_slot))],
         )
         poses = jax.vmap(lie.sim3_from_se3)(m.kf_pose)

@@ -104,6 +104,38 @@ def optimize_pose_graph(poses, fixed, ei, ej, emeas, emask, iters: int = 20,
     return poses, final
 
 
+def compute_spanning_tree(covis, kf_valid):
+    """Maximum-weight spanning tree over the covisibility graph (the role of
+    the reference's incremental `KeyFrame::ChangeParent` spanning tree,
+    `KeyFrame.cc:544-734`): returns parent[i] (-1 for roots/invalid). Prim's
+    algorithm from the lowest valid slot, numpy host-side."""
+    import numpy as np
+
+    W = np.asarray(covis)
+    valid = np.asarray(kf_valid)
+    n = W.shape[0]
+    parent = np.full(n, -1, np.int64)
+    nodes = np.nonzero(valid)[0]
+    if len(nodes) == 0:
+        return parent
+    in_tree = np.zeros(n, bool)
+    in_tree[nodes[0]] = True
+    # best connection of each node to the current tree
+    best_w = W[:, nodes[0]].astype(np.int64).copy()
+    best_p = np.full(n, nodes[0], np.int64)
+    for _ in range(len(nodes) - 1):
+        cand = np.where(valid & ~in_tree, best_w, -1)
+        j = int(np.argmax(cand))
+        if cand[j] <= 0:
+            break  # disconnected component: remaining nodes stay roots
+        parent[j] = best_p[j]
+        in_tree[j] = True
+        upd = W[:, j] > best_w
+        best_w = np.where(upd, W[:, j], best_w)
+        best_p = np.where(upd, j, best_p)
+    return parent
+
+
 def build_essential_edges(covis, kf_valid, min_weight: int = 100,
                           spanning_parent=None, extra_edges=None):
     """Build the essential-graph edge list on the host (numpy-ish): strong

@@ -452,10 +452,10 @@ class SlamAgent:
         from ..loopclosing import pose_graph
 
         covis = map_state.covisibility(m)
-        Kcap = m.kf_capacity
+        parent = pose_graph.compute_spanning_tree(covis, np.asarray(m.kf_valid))
         ei, ej = pose_graph.build_essential_edges(
             covis, np.asarray(m.kf_valid), min_weight=50,
-            spanning_parent=list(range(-1, Kcap - 1)),
+            spanning_parent=parent,
         )
         if len(ei) == 0:
             return m
