@@ -59,6 +59,19 @@ class System:
         )
         self.tracker.meta.agent_id = agent_id
         self.use_viewer = use_viewer
+        if self.voc is not None:
+            # with a vocabulary, enable relocalization and the multi-submap
+            # atlas (new map on persistent LOST + merge-back)
+            from ..mapping.atlas import Atlas
+            from ..tracking.relocalization import RelocalizationService
+
+            fc = settings.frontend_config()
+            self.tracker.relocalizer = RelocalizationService(
+                self.voc, settings.camera.K(), fc.sigma2,
+                kf_cap=settings.kf_capacity,
+            )
+            self.tracker.atlas = Atlas(self.voc, settings.camera.K(), fc,
+                                       agent_id=agent_id)
         if settings.load_atlas_from_file:
             self.load_atlas(settings.load_atlas_from_file)
 
