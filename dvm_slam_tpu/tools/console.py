@@ -101,6 +101,65 @@ def run_synthetic(n_agents=2, n_frames=80, out_dir="out_synth", seed=3,
     return evaluate(out_dir)
 
 
+def run_dataset(dataset_root, fmt="euroc", settings_path=None, n_agents=2,
+                out_dir="out_dataset", overlap=0.25, max_frames=None,
+                gt_path=None):
+    """Replay a real dataset split across N agents (the rosbag-remap
+    evaluation flow, `central_management_interface/main.py:270-317`)."""
+    from ..io import config as config_mod, datasets
+    from ..multiagent import transport
+
+    os.makedirs(out_dir, exist_ok=True)
+    loaders = {"euroc": datasets.load_euroc, "tum": datasets.load_tum,
+               "kitti": datasets.load_kitti}
+    seq = loaders[fmt](dataset_root)
+    if max_frames:
+        seq = seq[:max_frames]
+    settings = (config_mod.load_settings(settings_path) if settings_path
+                else config_mod.load_settings(
+                    os.path.join(os.path.dirname(__file__), "..", "..",
+                                 "configs", f"{fmt}.yaml")))
+    cfg = settings.tracker_config()
+    K = settings.camera.K()
+
+    # vocabulary from a frame sample
+    sample = [img for _, img in seq[:: max(len(seq) // 10, 1)]]
+    voc = train_vocabulary_from_frames(sample[:8], cfg, K)
+
+    bus = transport.LoopbackTransport()
+    agents = build_agents(n_agents, cfg, K, voc, bus)
+    parts = seq.split_for_agents(n_agents, overlap=overlap)
+
+    gt_poses = None
+    if gt_path:
+        gt_stamps, gt_all = datasets.load_groundtruth_tum(gt_path)
+        gt_poses = (gt_stamps, gt_all)
+
+    gt = {aid: [] for aid in agents}
+    iters = [iter(p) for p in parts]
+    stamps0 = [p.stamps[0] for p in parts]
+    done = [False] * n_agents
+    while not all(done):
+        for ai, (aid, a) in enumerate(sorted(agents.items())):
+            if done[ai]:
+                continue
+            try:
+                ts, img = next(iters[ai])
+            except StopIteration:
+                done[ai] = True
+                continue
+            pose = a.process_image(img, ts - stamps0[ai])
+            if pose is not None and gt_poses is not None:
+                i = int(np.argmin(np.abs(gt_poses[0] - ts)))
+                if abs(gt_poses[0][i] - ts) < 0.05:
+                    gt[aid].append((ts, np.asarray(pose), gt_poses[1][i]))
+    for e in range(6):
+        for a in agents.values():
+            a.run_once(1e9 + e)
+    record_run(out_dir, agents, bus, gt)
+    return evaluate(out_dir) if gt_path else {"run_dir": out_dir}
+
+
 def record_run(out_dir, agents, bus, gt):
     """Record trajectories + transmission stats (the rosbag record set)."""
     from ..io import trajectory as traj_mod, viz
@@ -148,12 +207,24 @@ def main(argv=None):
     ps.add_argument("--agents", type=int, default=2)
     ps.add_argument("--frames", type=int, default=80)
     ps.add_argument("--out", default="out_synth")
+    pd = sub.add_parser("run-dataset")
+    pd.add_argument("--root", required=True, help="dataset directory")
+    pd.add_argument("--format", default="euroc", choices=["euroc", "tum", "kitti"])
+    pd.add_argument("--settings", default=None)
+    pd.add_argument("--agents", type=int, default=2)
+    pd.add_argument("--out", default="out_dataset")
+    pd.add_argument("--max-frames", type=int, default=None)
+    pd.add_argument("--gt", default=None, help="TUM-format ground truth")
     pe = sub.add_parser("evaluate")
     pe.add_argument("--run-dir", required=True)
     args = p.parse_args(argv)
     if args.cmd == "run-synthetic":
         rep = run_synthetic(n_agents=args.agents, n_frames=args.frames,
                             out_dir=args.out)
+    elif args.cmd == "run-dataset":
+        rep = run_dataset(args.root, fmt=args.format, settings_path=args.settings,
+                          n_agents=args.agents, out_dir=args.out,
+                          max_frames=args.max_frames, gt_path=args.gt)
     else:
         rep = evaluate(args.run_dir)
     print(json.dumps(rep, indent=2))

@@ -170,3 +170,45 @@ class TestSystemFacade:
         open(path, "wb").write(bytes(data))
         with pytest.raises(IOError):
             system_mod.System(settings, agent_id=3).load_atlas(path)
+
+
+class TestRunDataset:
+    def test_run_dataset_euroc_layout(self, tmp_path):
+        """End-to-end: rendered synthetic frames written as a EuRoC-layout
+        dataset, replayed through the console's dataset runner."""
+        from PIL import Image
+        from dvm_slam_tpu.tools import console
+
+        world = synthetic.PlaneWorld(seed=3, tex_size=512, plane_z=6.0, extent=30.0)
+        K = np.array([200.0, 200.0, 120.0, 90.0], np.float32)
+        traj = synthetic.smooth_trajectory(24, lateral=1.5, forward=0.4)
+        base = tmp_path / "mav0" / "cam0"
+        (base / "data").mkdir(parents=True)
+        rows = ["#ts,filename"]
+        gt_rows = []
+        for i, T in enumerate(traj):
+            img = np.asarray(world.render(jnp.asarray(T), jnp.asarray(K), 180, 240))
+            name = f"{i}.png"
+            Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(base / "data" / name)
+            ts_ns = 1000000000 + i * 100000000
+            rows.append(f"{ts_ns},{name}")
+            Twc = lie.se3_inv(jnp.asarray(T))
+            q = np.asarray(Twc[:4]); t = np.asarray(Twc[4:])
+            gt_rows.append(f"{ts_ns*1e-9:.6f} {t[0]} {t[1]} {t[2]} {q[1]} {q[2]} {q[3]} {q[0]}")
+        (base / "data.csv").write_text("\n".join(rows))
+        gt_path = tmp_path / "gt.txt"
+        gt_path.write_text("\n".join(gt_rows))
+        settings = tmp_path / "settings.yaml"
+        settings.write_text(
+            "camera:\n  model: pinhole\n  fx: 200.0\n  fy: 200.0\n  cx: 120.0\n"
+            "  cy: 90.0\n  dist: [0.0, 0.0, 0.0, 0.0]\n  width: 240\n  height: 180\n"
+            "  fps: 5.0\norb:\n  n_features: 500\nkf_capacity: 32\npt_capacity: 2048\n"
+        )
+        rep = console.run_dataset(
+            str(tmp_path), fmt="euroc", settings_path=str(settings),
+            n_agents=1, out_dir=str(tmp_path / "out"), gt_path=str(gt_path),
+        )
+        assert "agents" in rep
+        a1 = rep["agents"].get("1")
+        assert a1 is not None and a1["frames"] > 5
+        assert a1["ate_rmse_m"] < 0.15, rep
