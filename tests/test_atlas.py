@@ -10,6 +10,8 @@ from dvm_slam_tpu.mapping import atlas as atlas_mod, local_mapping
 from dvm_slam_tpu.placerec import vocabulary
 from dvm_slam_tpu.tracking import tracker
 
+pytestmark = pytest.mark.slow  # heavy e2e; deselect with -m 'not slow'
+
 H, W = 240, 320
 K = np.array([260.0, 260.0, 160.0, 120.0], np.float32)
 

@@ -14,6 +14,8 @@ from dvm_slam_tpu.mapping import local_mapping
 from dvm_slam_tpu.tracking import tracker
 from dvm_slam_tpu.eval import metrics
 
+pytestmark = pytest.mark.slow  # heavy e2e; deselect with -m 'not slow'
+
 H, W = 240, 320
 K4 = np.array([200.0, 200.0, 160.0, 120.0], np.float32)
 KB = np.array([0.02, -0.005, 0.003, -0.001], np.float32)  # theta polynomial

@@ -14,6 +14,8 @@ from dvm_slam_tpu.loopclosing import loop_detector as ld
 from dvm_slam_tpu.geometry import lie
 from dvm_slam_tpu.eval import metrics
 
+pytestmark = pytest.mark.slow  # heavy e2e; deselect with -m 'not slow'
+
 H, W = 240, 320
 K = np.array([260.0, 260.0, 160.0, 120.0], np.float32)
 

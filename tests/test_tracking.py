@@ -12,6 +12,8 @@ from dvm_slam_tpu.frontend.extractor import FrontendConfig
 from dvm_slam_tpu.io import synthetic
 from dvm_slam_tpu.eval import metrics
 
+pytestmark = pytest.mark.slow  # heavy e2e; deselect with -m 'not slow'
+
 
 class TestPoseOpt:
     K = jnp.array([300.0, 300.0, 160.0, 120.0])
