@@ -452,6 +452,7 @@ class SlamAgent:
         from ..loopclosing import pose_graph
 
         covis = map_state.covisibility(m)
+        Kcap = m.kf_capacity
         parent = pose_graph.compute_spanning_tree(covis, np.asarray(m.kf_valid))
         ei, ej = pose_graph.build_essential_edges(
             covis, np.asarray(m.kf_valid), min_weight=50,
