@@ -5,22 +5,24 @@ TPU-native replacement for g2o's sparse LM on the reference's BA problems
 `GlobalBundleAdjustemnt` `:48`): camera/point block structure is exploited
 exactly as g2o's Schur solver does, but fully batched.
 
-Layout (TPU): everything observation-indexed is stored as PLANES with the
-per-keyframe feature axis F in the 128-lane dimension — `[6, L, F]` camera
-Jacobian rows, `[3, L, F]` point Jacobian rows — so products/reductions are
-lane-dense, and the two heavy contractions are real MXU matmuls:
+TPU layout rules this file lives by:
+  1. Observation-indexed tensors keep the BIG axis (F or P) in the last
+     (128-lane) dimension: camera Jacobian planes `[6,L,F]`, point Jacobian
+     planes `[3,L,F]`, point-block tensors `[3,3,P]` / `[L,6,3,P]`.
+     Small-minor-dim layouts like `[L,F,2,6]` waste ~95% of every vector
+     register and MXU tile.
+  2. The constant observation->point incidence becomes a one-hot `[L,F,P]`
+     built ONCE per solve; per-iteration point gathers (positions) and
+     scatters (H_pp/b_p/W assembly) are einsums whose OUTPUT axis is the big
+     one — a small-output matmul pads to 128 lanes and throws away 14-43x
+     of the MXU.
+  3. The reduced camera system S = H_cc − W H_pp⁻¹ Wᵀ is one
+     [6L,3P] @ [3P,6L] matmul + a dense [6L,6L] solve.
 
-  * camera blocks  H_cc:  per-l [6,F] @ [F,6]
-  * reduced system S = H_cc − W H_pp⁻¹ Wᵀ with W flattened to [6L, 3P]:
-    one [6L,3P] @ [3P,6L] matmul.
-
-Point blocks H_pp are [P,3,3] with closed-form damping/inverse; assembly
-uses scatter-adds over the observation table. Huber kernel at sqrt(5.991) px
-like the reference's mono edges; two optimization stages with outlier-edge
-removal in between (the reference's 5-then-10-iteration scheme).
-
-Closed-form Jacobians (same derivation as tracking/pose_opt.py; additionally
-Jp = dr/dX = -A @ R since pc = R X + t).
+Huber kernel at sqrt(5.991) px like the reference's mono edges; two
+optimization stages with outlier-edge removal in between (the reference's
+5-then-10-iteration scheme). Closed-form Jacobians (derivation in
+tracking/pose_opt.py; additionally Jp = dr/dX = -A @ R since pc = R X + t).
 """
 
 from __future__ import annotations
@@ -34,6 +36,34 @@ from ..geometry import lie
 
 CHI2_MONO = 5.991
 HUBER_DELTA = jnp.sqrt(CHI2_MONO)
+
+
+def inv3x3(A, eps: float = 1e-12):
+    """Closed-form batched 3x3 inverse (adjugate / det).
+
+    `jnp.linalg.inv` lowers to an LU custom-call that executes serially per
+    batch element on TPU — profiled at ~50% of the whole BA solve. The
+    cofactor form is a handful of fused VPU ops."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < eps, eps, det)
+    M = jnp.stack([
+        jnp.stack([A11, A12, A13], -1),
+        jnp.stack([A21, A22, A23], -1),
+        jnp.stack([A31, A32, A33], -1),
+    ], -2)
+    return M * inv_det[..., None, None]
 
 
 @partial(jax.jit, static_argnames=("iters", "stage2_iters"))
@@ -59,31 +89,28 @@ def bundle_adjust(
     obs_valid = obs_pt >= 0
     pidx = jnp.clip(obs_pt, 0)
     free_cam = (~kf_fixed).astype(dtype)          # [L]
-    eyeL = jnp.eye(3, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
 
-    # The observation->point incidence is CONSTANT across iterations: build
-    # the one-hot [L,F,P] once and every per-iteration gather (point
-    # positions) and scatter (H_pp/b_p/W assembly) becomes an MXU matmul —
-    # random gather/scatter runs at ~85ns/element on TPU and would otherwise
-    # dominate the entire solve.
+    # one-hot incidence, built once (indices are constant across iterations)
     oh = (
         (pidx[..., None] == jnp.arange(P, dtype=jnp.int32)) & obs_valid[..., None]
     ).astype(dtype)                                # [L,F,P]
 
-    def compute_system(poses, points, active, robust=True):
-        """Residuals + Jacobian planes.
+    ru_obs = kf_xy[..., 0]                         # [L,F]
+    rv_obs = kf_xy[..., 1]
 
-        Returns r [L,F,2], z [L,F], Ju/Jv [6,L,F], Pu/Pv [3,L,F], chi2, w."""
-        Xo = jnp.einsum("lfp,pd->lfd", oh, points)            # gather-as-matmul
-        q = lie.se3_q(poses)                                   # [L,4]
+    def compute_system(poses, points, active, robust=True):
+        """Residuals + Jacobian planes, all [., L, F]."""
+        # gather-as-matmul with the big axis (F) as the matmul output
+        Xo = jnp.einsum("pd,lfp->ldf", points, oh)             # [L,3,F]
+        R = lie.quat_to_matrix(lie.se3_q(poses))               # [L,3,3]
         t = lie.se3_t(poses)
-        pc = lie.quat_rotate(q[:, None, :], Xo) + t[:, None, :]
-        x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+        pc = jnp.einsum("lij,ljf->lif", R, Xo) + t[:, :, None]  # [L,3,F]
+        x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]                 # [L,F]
         zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
         inv_z = 1.0 / zs
-        u_pred = K[0] * x * inv_z + K[2]
-        v_pred = K[1] * y * inv_z + K[3]
-        r = kf_xy - jnp.stack([u_pred, v_pred], axis=-1)
+        ru = ru_obs - (K[0] * x * inv_z + K[2])
+        rv = rv_obs - (K[1] * y * inv_z + K[3])
 
         a00 = K[0] * inv_z
         a02 = -K[0] * x * inv_z * inv_z
@@ -93,38 +120,33 @@ def bundle_adjust(
         Ju = jnp.stack([-a00, zero, -a02, -a02 * y, -a00 * z + a02 * x, a00 * y])
         Jv = jnp.stack([zero, -a11, -a12, a11 * z - a12 * y, a12 * x, -a11 * x])
 
-        # Jp = -A @ R, rows: Pu_j = -(a00 R0j + a02 R2j), Pv_j = -(a11 R1j + a12 R2j)
-        R = lie.quat_to_matrix(q)                              # [L,3,3]
-        R0 = R[:, 0, :][:, None, :]                            # [L,1,3]
-        R1 = R[:, 1, :][:, None, :]
-        R2 = R[:, 2, :][:, None, :]
-        Pu = -(a00[..., None] * R0 + a02[..., None] * R2)      # [L,F,3]
-        Pv = -(a11[..., None] * R1 + a12[..., None] * R2)
-        Pu = jnp.moveaxis(Pu, -1, 0)                           # [3,L,F]
-        Pv = jnp.moveaxis(Pv, -1, 0)
+        # Jp rows: Pu_d = -(a00 R[l,0,d] + a02 R[l,2,d]); Pv analogous
+        R0 = jnp.moveaxis(R[:, 0, :], -1, 0)                   # [3,L]
+        R1 = jnp.moveaxis(R[:, 1, :], -1, 0)
+        R2 = jnp.moveaxis(R[:, 2, :], -1, 0)
+        Pu = -(R0[:, :, None] * a00[None] + R2[:, :, None] * a02[None])  # [3,L,F]
+        Pv = -(R1[:, :, None] * a11[None] + R2[:, :, None] * a12[None])
 
-        chi2 = jnp.sum(r * r, axis=-1) * info
+        chi2 = (ru * ru + rv * rv) * info
         w = info * active
         if robust:
             rn = jnp.sqrt(jnp.maximum(chi2, 1e-12))
             w = w * jnp.minimum(1.0, HUBER_DELTA / rn)
         w = w * (z > 0)
-        return r, z, Ju, Jv, Pu, Pv, chi2, w
+        return ru, rv, z, Ju, Jv, Pu, Pv, chi2, w
 
     def gn_step(carry, _):
         poses, points, active = carry
-        r, z, Ju, Jv, Pu, Pv, chi2, w = compute_system(poses, points, active)
+        ru, rv, z, Ju, Jv, Pu, Pv, chi2, w = compute_system(poses, points, active)
 
         # gate fixed cameras / constant points
         Juc = Ju * free_cam[None, :, None]
         Jvc = Jv * free_cam[None, :, None]
-        popt_obs = pt_opt[pidx].astype(dtype)                  # [L,F]
+        popt_obs = jnp.einsum("p,lfp->lf", pt_opt.astype(dtype), oh)
         Puc = Pu * popt_obs[None]
         Pvc = Pv * popt_obs[None]
 
-        ru, rv = r[..., 0], r[..., 1]
-
-        # camera blocks: per-l [6,F] @ [F,6] (MXU, F in lanes)
+        # camera blocks: per-l [6,F] @ [F,6] (F in lanes)
         Hcc = jnp.einsum("ilf,lf,jlf->lij", Juc, w, Juc) + jnp.einsum(
             "ilf,lf,jlf->lij", Jvc, w, Jvc
         )
@@ -132,40 +154,37 @@ def bundle_adjust(
             "ilf,lf->li", Jvc, w * rv
         )
 
-        # point blocks: [3,3,L,F] plane products, assembled by matmul.
-        # tensorfloat32 (3-pass) is plenty for Hessian assembly — the solve
-        # is damped GN; the gather of point POSITIONS stays full f32.
-        with jax.default_matmul_precision("tensorfloat32"):
-            HppV = (
-                Puc[:, None] * Puc[None, :] + Pvc[:, None] * Pvc[None, :]
-            ) * w[None, None]                                  # [3,3,L,F]
-            Hpp = jnp.einsum("lfp,ijlf->pij", oh, HppV)
-            bpV = Puc * (w * ru)[None] + Pvc * (w * rv)[None]  # [3,L,F]
-            bp = jnp.einsum("lfp,ilf->pi", oh, bpV)
+        # point blocks: outputs keep P in lanes
+        HppV = (
+            Puc[:, None] * Puc[None, :] + Pvc[:, None] * Pvc[None, :]
+        ) * w[None, None]                                      # [3,3,L,F]
+        HppP = jnp.einsum("ijlf,lfp->ijp", HppV, oh)           # [3,3,P]
+        Hpp = jnp.moveaxis(HppP, -1, 0)                        # [P,3,3]
+        bpV = Puc * (w * ru)[None] + Pvc * (w * rv)[None]      # [3,L,F]
+        bpP = jnp.einsum("ilf,lfp->ip", bpV, oh)               # [3,P]
 
-            # coupling [L,P,6,3]: per-l [P,F] @ [F,18]
-            WV = (Juc[:, None] * Puc[None, :] + Jvc[:, None] * Pvc[None, :]) * w[None, None]
-            W = jnp.einsum("lfp,ijlf->lpij", oh, WV)
+        # coupling: [L,6,3,P]
+        WV = (Juc[:, None] * Puc[None, :] + Jvc[:, None] * Pvc[None, :]) * w[None, None]
+        W = jnp.einsum("ijlf,lfp->lijp", WV, oh)               # [L,6,3,P]
 
         # damp + closed-form invert point blocks
         trp = jnp.einsum("pii->p", Hpp)
         lam_p = damping * (1.0 + trp / 3.0)
-        Hpp_d = Hpp + lam_p[:, None, None] * eyeL
+        Hpp_d = Hpp + lam_p[:, None, None] * eye3
         empty = trp < 1e-12
-        Hpp_d = jnp.where(empty[:, None, None], eyeL, Hpp_d)
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Hpp_d = jnp.where(empty[:, None, None], eye3, Hpp_d)
+        Hpp_inv = inv3x3(Hpp_d)
         Hpp_inv = jnp.where(empty[:, None, None], 0.0, Hpp_inv)
 
         # Schur complement via one [6L,3P] @ [3P,6L] matmul
-        Wm = W.transpose(0, 2, 1, 3)                            # [L,6,P,3]
-        WHi = jnp.einsum("lqpj,pjk->lqpk", Wm, Hpp_inv)
-        Wm_flat = Wm.reshape(L * 6, P * 3)
-        WHi_flat = WHi.reshape(L * 6, P * 3)
+        WHi = jnp.einsum("lijp,pjk->likp", W, Hpp_inv)         # [L,6,3,P]
+        Wf = W.reshape(L * 6, 3 * P)
+        WHif = WHi.reshape(L * 6, 3 * P)
         S_off = jax.lax.dot_general(
-            WHi_flat, Wm_flat,
+            WHif, Wf,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(L, 6, L, 6).transpose(0, 2, 1, 3)             # [L,L,6,6]
+        ).reshape(L, 6, L, 6).transpose(0, 2, 1, 3)            # [L,L,6,6]
 
         S = -S_off
         S = S.at[jnp.arange(L), jnp.arange(L)].add(Hcc)
@@ -177,7 +196,7 @@ def bundle_adjust(
         S = jnp.where(fix2[:, :, None, None], 0.0, S)
         S = S.at[jnp.arange(L), jnp.arange(L)].add(kf_fixed[:, None, None] * eye6)
 
-        rhs = -(bc.reshape(-1) - WHi_flat @ bp.reshape(-1))
+        rhs = -(bc.reshape(-1) - WHif @ bpP.reshape(-1))
         rhs = (rhs.reshape(L, 6) * free_cam[:, None]).reshape(-1)
 
         Sm = S.transpose(0, 2, 1, 3).reshape(L * 6, L * 6)
@@ -185,8 +204,10 @@ def bundle_adjust(
         dc = jnp.where(jnp.isfinite(dc), dc, 0.0) * free_cam[:, None]
 
         # back-substitution: dp = Hpp^-1 (-(bp + W^T dc))
-        Wt_dc = (dc.reshape(-1) @ Wm_flat).reshape(P, 3)
-        dp = jnp.einsum("pij,pj->pi", Hpp_inv, -(bp + Wt_dc))
+        Wt_dc = (dc.reshape(-1) @ Wf).reshape(3, P)            # [3,P]
+        dp = jnp.einsum(
+            "pij,pj->pi", Hpp_inv, -(bpP.T + Wt_dc.T)
+        )
         dp = jnp.where(jnp.isfinite(dp), dp, 0.0) * pt_opt[:, None]
 
         new_poses = jax.vmap(lie.se3_retract)(poses, dc)
