@@ -82,6 +82,8 @@ def pose_optimization(T_init, pts, uv, sigma2, valid, K,
                 "in,n->i", Jv, w * r[:, 1]
             )
             H = H + damping * jnp.eye(6, dtype=T.dtype) * (1.0 + jnp.trace(H) / 6.0)
+            # measured: the LU custom-call beats the blocked closed form
+            # here (single 6x6 per iteration, latency hidden in the chain)
             dx = jnp.linalg.solve(H, -b)
             dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
             return lie.se3_retract(T, dx)
