@@ -24,10 +24,11 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import lie
 
-GRAVITY = jnp.asarray([0.0, 0.0, -9.81])
+GRAVITY = np.asarray([0.0, 0.0, -9.81], dtype=np.float32)
 
 
 class ImuCalib(NamedTuple):

@@ -325,9 +325,10 @@ def _sim3_W(omega, sigma):
     # C = (e^sigma - 1)/sigma
     C = jnp.where(s_sigma, 1.0 + 0.5 * sigma + sigma * sigma / 6.0, (es - 1.0) / sg)
 
-    # regime 1: theta small, sigma small
-    A11 = 0.5 + sigma / 6.0
-    B11 = 1.0 / 6.0 + sigma / 24.0
+    # regime 1: theta small, sigma small — first-order series in sigma:
+    # A = 1/2 + sigma/3 + O(s^2), B = 1/6 + sigma/8 + O(s^2)
+    A11 = 0.5 + sigma / 3.0
+    B11 = 1.0 / 6.0 + sigma / 8.0
     # regime 2: theta small, sigma not small
     A10 = ((sg - 1.0) * es + 1.0) / (sg * sg)
     B10 = ((0.5 * sg * sg - sg + 1.0) * es - 1.0) / (sg ** 3)

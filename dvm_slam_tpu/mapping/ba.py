@@ -27,6 +27,7 @@ tracking/pose_opt.py; additionally Jp = dr/dX = -A @ R since pc = R X + t).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -35,7 +36,7 @@ import jax.numpy as jnp
 from ..geometry import lie
 
 CHI2_MONO = 5.991
-HUBER_DELTA = jnp.sqrt(CHI2_MONO)
+HUBER_DELTA = math.sqrt(CHI2_MONO)
 
 
 def inv3x3(A, eps: float = 1e-12):

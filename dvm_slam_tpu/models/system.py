@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import pickle
 from typing import Optional
 
 import numpy as np
@@ -28,6 +27,7 @@ from ..io import config as config_mod
 from ..io import trajectory as traj_mod
 from ..mapping import local_mapping, map_state
 from ..multiagent import codec
+from ..multiagent import wirecodec
 from ..placerec import vocabulary
 from ..tracking import tracker as trk
 
@@ -135,8 +135,10 @@ class System:
     # -- checkpoint / resume ----------------------------------------------
 
     def save_atlas(self, path: str):
-        """Atlas checkpoint with md5 (`System::SaveAtlas`): map packet +
-        tracker continuation state + identity metadata."""
+        """Atlas checkpoint (`System::SaveAtlas`): map packet + tracker
+        continuation state + identity metadata, serialized with the typed
+        `wirecodec` (never pickle — a checkpoint must be data, not code).
+        The md5 prefix detects corruption only; it is not authentication."""
         blob = self.serialize_map(own_only=False)
         state = {
             "map": blob,
@@ -147,7 +149,7 @@ class System:
             "agent_id": self.agent_id,
             "trajectory": self.tracker.trajectory,
         }
-        payload = pickle.dumps(state, protocol=4)
+        payload = wirecodec.dumps(state)
         digest = hashlib.md5(payload).hexdigest().encode()
         with open(path, "wb") as f:
             f.write(digest + b"\n")
@@ -159,7 +161,7 @@ class System:
             payload = f.read()
         if hashlib.md5(payload).hexdigest().encode() != digest:
             raise IOError(f"atlas checksum mismatch: {path}")
-        state = pickle.loads(payload)
+        state = wirecodec.loads(payload)
         packet = codec.MapPacket.from_bytes(state["map"])
         fc = self.settings.frontend_config()
         mB, metaB = codec.materialize(packet, fc.capacity)

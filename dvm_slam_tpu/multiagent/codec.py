@@ -57,12 +57,22 @@ def pack_arrays(arrays: dict) -> bytes:
 
 
 def unpack_arrays(blob: bytes) -> dict:
+    if len(blob) < 12:
+        raise ValueError("corrupt packet: too short")
     (rawlen,) = struct.unpack_from("<Q", blob, 0)
-    raw = zlib.decompress(blob[8:])
-    assert len(raw) == rawlen, "corrupt packet"
+    # rawlen is attacker-controlled: bound it before decompressing (mirrors
+    # native/mapcodec.cpp dvm_unpack_raw) so a hostile prefix can't demand an
+    # unbounded allocation (decompression bomb).
+    if rawlen < 8 or rawlen > (len(blob) - 8) * 1024 or rawlen > (1 << 32):
+        raise ValueError("corrupt packet: bogus raw length")
+    d = zlib.decompressobj()
+    raw = d.decompress(blob[8:], rawlen)
+    if len(raw) != rawlen or d.decompress(b"", 1):
+        raise ValueError("corrupt packet: length mismatch")
     off = 0
     magic, n = struct.unpack_from("<II", raw, off)
-    assert magic == MAGIC, "bad magic"
+    if magic != MAGIC:
+        raise ValueError("corrupt packet: bad magic")
     off += 8
     out = {}
     for _ in range(n):

@@ -8,27 +8,31 @@ transport-agnostic; peer-to-peer with a static peer table — no central
 broker, mirroring the reference's static {1,2,3} topology
 (`orb_slam3_wrapper.cpp:110-121`).
 
-Wire format: 8-byte little-endian length + pickled envelope
+Wire format: 8-byte little-endian length + `wirecodec` envelope
   (kind, sender, channel, payload [, req_id])
-Map payloads inside messages are already `codec.MapPacket` blobs (zlib,
-C++-codec compatible), so pickle only wraps small metadata.
+The envelope codec is a typed allowlist serializer (no pickle — a reachable
+listening port must never be a code-execution primitive; the reference's DDS
+messages carry data only). Map payloads inside messages are already
+`codec.MapPacket` blobs (zlib, C++-codec compatible).
 """
 
 from __future__ import annotations
 
 import collections
-import pickle
 import socket
 import socketserver
 import struct
 import threading
 import uuid as uuid_mod
 
+from . import wirecodec
+
 QUEUE_DEPTH = 10
+MAX_FRAME_BYTES = 1 << 30  # refuse absurd length prefixes before allocating
 
 
 def _send_frame(sock, obj):
-    payload = pickle.dumps(obj, protocol=4)
+    payload = wirecodec.dumps(obj)
     sock.sendall(struct.pack("<Q", len(payload)) + payload)
     return len(payload)
 
@@ -41,13 +45,18 @@ def _recv_frame(sock):
             return None
         hdr += chunk
     (n,) = struct.unpack("<Q", hdr)
+    if n > MAX_FRAME_BYTES:
+        return None  # protocol violation: drop the connection
     buf = bytearray()
     while len(buf) < n:
         chunk = sock.recv(min(1 << 20, n - len(buf)))
         if not chunk:
             return None
         buf += chunk
-    return pickle.loads(bytes(buf))
+    try:
+        return wirecodec.loads(bytes(buf))
+    except (ValueError, TypeError):
+        return None  # malformed/hostile frame: drop the connection
 
 
 class SocketTransport:

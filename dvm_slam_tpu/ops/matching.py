@@ -27,7 +27,7 @@ TH_LOW = 50
 TH_HIGH = 100
 HISTO_BINS = 30
 
-_BIG = jnp.int32(1 << 20)
+_BIG = 1 << 20  # plain int: keeps module import device-free
 
 
 def hamming_matrix(desc_a, desc_b):

@@ -20,6 +20,7 @@ a12 = -fy y/z^2:
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -28,7 +29,7 @@ import jax.numpy as jnp
 from ..geometry import lie
 
 CHI2_MONO = 5.991
-HUBER_DELTA = jnp.sqrt(CHI2_MONO)
+HUBER_DELTA = math.sqrt(CHI2_MONO)
 
 
 def _residuals_and_planes(T, pts, uv, K):

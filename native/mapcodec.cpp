@@ -88,6 +88,11 @@ int dvm_unpack_raw(const uint8_t* blob, uint64_t blob_len, uint8_t** out,
   if (blob_len < 12) return -1;
   uint64_t rawlen;
   memcpy(&rawlen, blob, 8);
+  // rawlen is attacker-controlled: require room for the magic word and cap
+  // against a max zlib expansion of 1024x (real map packets are ~2-4x) so a
+  // hostile 8-byte prefix cannot demand an unbounded allocation.
+  if (rawlen < 8 || rawlen > (blob_len - 8) * 1024ULL || rawlen > (1ULL << 32))
+    return -1;
   uint8_t* raw = static_cast<uint8_t*>(malloc(rawlen));
   if (!raw) return -2;
   uLongf dst = rawlen;
