@@ -1,17 +1,22 @@
 #!/usr/bin/env python
-"""Benchmark: per-agent front-end + tracking FPS on the flagship hot path.
+"""Benchmark: tracking FPS (hot path), end-to-end FPS with mapping enabled,
+local/global BA timings, and a fair CPU sparse-solver baseline.
 
 Runs the full jitted per-frame pipeline (ORB extraction -> two-stage map
 projection matching -> pose-only BA) at EuRoC geometry (752x480, 1250
 features, 8 levels) against a populated map, on whatever accelerator JAX
-provides (TPU under the driver). Also times one windowed local BA solve.
+provides (TPU under the driver).
 
 Prints ONE JSON line:
-  {"metric": "tracking_fps", "value": N, "unit": "fps", "vs_baseline": N/20}
+  {"metric": "tracking_fps", "value": N, "unit": "fps", "vs_baseline": N/20,
+   "e2e_fps": ..., "local_ba_ms": ..., "global_ba_ms": ...,
+   "cpu_sparse_ba_ms": ..., "ba_speedup_vs_cpu": ...}
 
-Baseline: the reference tracks its configured camera rate, 20 fps on EuRoC
-(`src/slam_system/configs/euroc.yaml:39`); BASELINE.md's rebuild target is
->= 60 fps/agent (3x the reference rate), i.e. vs_baseline >= 3.0.
+Baselines: the reference tracks its configured camera rate, 20 fps on EuRoC
+(`src/slam_system/configs/euroc.yaml:39`); BASELINE.md's rebuild targets are
+>= 60 fps/agent (vs_baseline >= 3.0) and >= 10x local-BA speedup vs a CPU
+sparse solver in g2o's class (the scipy Schur-LM below — NOT the same JAX
+algorithm re-run on CPU).
 """
 
 import json
@@ -83,6 +88,28 @@ def main():
     dt = (time.perf_counter() - t0) / n_iter
     fps = 1.0 / dt
 
+    # ---- timed: end-to-end steady state with mapping ENABLED -----------
+    # continue the trajectory so keyframes keep being created at the natural
+    # rate; process_image includes extraction, tracking, the KF decision and
+    # the (asynchronously dispatched) cull/triangulate/fuse/local-BA chain
+    n_e2e = 60
+    more = synthetic.smooth_trajectory(
+        len(imgs) + n_e2e, lateral=2.5, forward=0.8, yaw=0.1
+    )[len(imgs):]
+    e2e_imgs = [np.asarray(world.render(jnp.asarray(p), Kj, H, W)) for p in more]
+    kf_before = int(t.map.n_kf)
+    frame_ms = []
+    t0 = time.perf_counter()
+    for i, img in enumerate(e2e_imgs):
+        f0 = time.perf_counter()
+        t.process_image(img, (len(imgs) + i) * 0.05)
+        frame_ms.append((time.perf_counter() - f0) * 1000.0)
+    t.flush_meta()  # settle the async mapping chain before stopping the clock
+    jax.block_until_ready(t.map.kf_pose)
+    e2e_dt = (time.perf_counter() - t0) / n_e2e
+    e2e_fps = 1.0 / e2e_dt
+    kf_created = int(t.map.n_kf) - kf_before
+
     # ---- local BA timing (secondary, reported inside the same line) ----
     centers = [jnp.int32(max(int(m.n_kf) - 1 - i, 1)) for i in range(4)]
     mm, chi2 = local_mapping.local_ba(m, centers[0], t.K, n_local=12, n_fixed=8,
@@ -95,27 +122,248 @@ def main():
     jax.block_until_ready(mm.kf_pose)
     ba_ms = (time.perf_counter() - t0) / 10 * 1000.0
 
-    # ---- same-algorithm CPU reference for the BA speedup claim ---------
-    cpu_ba_ms = _cpu_ba_reference()
+    # ---- full-map global BA (matrix-free Schur PCG) ---------------------
+    mg, _ = local_mapping.global_ba(t.map, t.K, iters=8)
+    jax.block_until_ready(mg.kf_pose)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        mg, _ = local_mapping.global_ba(t.map, t.K, iters=8)
+    jax.block_until_ready(mg.kf_pose)
+    gba_ms = (time.perf_counter() - t0) / 3 * 1000.0
+
+    # ---- fair CPU baseline: C++ g2o-class Schur LM (numpy fallback) -----
+    cpu_sparse_ms = _cpu_g2o_class_baseline()
+    cpu_kind = "g2o_class_cpp"
+    if cpu_sparse_ms is None:
+        cpu_sparse_ms = _cpu_sparse_ba_baseline()
+        cpu_kind = "numpy_scipy"
+    # ---- same-algorithm-on-CPU (context only, NOT the speedup basis) ----
+    cpu_same_ms = _cpu_ba_reference()
 
     out = {
         "metric": "tracking_fps",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 20.0, 3),
+        "e2e_fps": round(e2e_fps, 2),
+        "e2e_frame_ms_p50": round(float(np.percentile(frame_ms, 50)), 2),
+        "e2e_frame_ms_p95": round(float(np.percentile(frame_ms, 95)), 2),
+        "e2e_kf_created": kf_created,
         "local_ba_ms": round(ba_ms, 2),
+        "global_ba_ms": round(gba_ms, 2),
         "device": str(jax.devices()[0]),
     }
-    if cpu_ba_ms:
-        out["cpu_local_ba_ms"] = round(cpu_ba_ms, 2)
-        out["ba_speedup_vs_cpu"] = round(cpu_ba_ms / ba_ms, 2)
+    if cpu_sparse_ms:
+        out["cpu_sparse_ba_ms"] = round(cpu_sparse_ms, 2)
+        out["cpu_baseline_kind"] = cpu_kind
+        out["ba_speedup_vs_cpu"] = round(cpu_sparse_ms / ba_ms, 2)
+    if cpu_same_ms:
+        out["cpu_same_algo_ba_ms"] = round(cpu_same_ms, 2)
     print(json.dumps(out))
 
 
+def _ba_problem_npz(path):
+    """Generate the shared local-BA benchmark problem (the same class as the
+    TPU-timed solve: 20 free + fixed KFs, ~4k points, ~35% observation
+    density) and save it so both baselines solve identical data."""
+    rng = np.random.RandomState(0)
+    L, F, P = 20, 1300, 4096
+    X = (rng.randn(P, 3) * 2 + [0, 0, 8]).astype(np.float32)
+    K = np.array([458.0, 457.0, 367.0, 248.0], np.float32)
+    poses_t = np.zeros((L, 3), np.float32)
+    poses_t[:, 0] = np.arange(L) * 0.1
+    obs = rng.randint(0, P, (L, F)).astype(np.int32)
+    obs = np.where(rng.rand(L, F) < 0.35, obs, -1)
+    uv = np.zeros((L, F, 2), np.float32)
+    for l in range(L):
+        Xl = X[np.clip(obs[l], 0, None)] - poses_t[l]  # identity rotation
+        uv[l, :, 0] = K[0] * Xl[:, 0] / Xl[:, 2] + K[2]
+        uv[l, :, 1] = K[1] * Xl[:, 1] / Xl[:, 2] + K[3]
+    uv += rng.randn(L, F, 2).astype(np.float32) * 0.5
+    np.savez(path, X=X, K=K, poses_t=poses_t, obs=obs, uv=uv)
+
+
+def _problem_bin(path):
+    """Write the BA problem in the flat binary layout ba_baseline.cpp reads."""
+    import struct as _struct
+
+    rng = np.random.RandomState(0)
+    L, F, P = 20, 1300, 4096
+    X = (rng.randn(P, 3) * 2 + [0, 0, 8]).astype(np.float64)
+    K = np.array([458.0, 457.0, 367.0, 248.0], np.float64)
+    poses_t = np.zeros((L, 3), np.float64)
+    poses_t[:, 0] = np.arange(L) * 0.1
+    obs = rng.randint(0, P, (L, F)).astype(np.int32)
+    obs = np.where(rng.rand(L, F) < 0.35, obs, -1).astype(np.int32)
+    uv = np.zeros((L, F, 2), np.float64)
+    for l in range(L):
+        Xl = X[np.clip(obs[l], 0, None)] - poses_t[l]
+        uv[l, :, 0] = K[0] * Xl[:, 0] / Xl[:, 2] + K[2]
+        uv[l, :, 1] = K[1] * Xl[:, 1] / Xl[:, 2] + K[3]
+    uv += rng.randn(L, F, 2) * 0.5
+    with open(path, "wb") as f:
+        f.write(_struct.pack("<iii", L, F, P))
+        f.write(X.tobytes())
+        f.write(K.tobytes())
+        f.write(poses_t.tobytes())
+        f.write(obs.tobytes())
+        f.write(uv.tobytes())
+
+
+def _cpu_g2o_class_baseline():
+    """The fair baseline: a hand-rolled C++ (-O3) sparse Schur BA with
+    exactly g2o's BlockSolver_6_3 structure (native/ba_baseline.cpp) on the
+    same 20-KF/4k-point problem, 6 iterations. Returns ms or None."""
+    import os, subprocess, tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "native", "ba_baseline.cpp")
+    exe = os.path.join(here, "native", "ba_baseline")
+    try:
+        if (not os.path.exists(exe)
+                or os.path.getmtime(exe) < os.path.getmtime(src)):
+            subprocess.run(["g++", "-O3", "-march=native", "-o", exe, src],
+                           check=True, capture_output=True, timeout=300)
+        binp = tempfile.mktemp(suffix=".bin")
+        _problem_bin(binp)
+        best = None
+        for _ in range(3):
+            res = subprocess.run([exe, binp, "6"], capture_output=True,
+                                 text=True, timeout=300, check=True)
+            ms = float(res.stdout.strip())
+            best = ms if best is None else min(best, ms)
+        os.unlink(binp)
+        return best
+    except Exception:
+        return None
+
+
+def _cpu_sparse_ba_baseline():
+    """Fallback numpy/scipy Schur LM (same structure, vectorized) used only
+    when the C++ baseline can't build. Runs in a subprocess; returns ms per
+    solve or None."""
+    import subprocess, tempfile, os
+
+    npz = tempfile.mktemp(suffix=".npz")
+    _ba_problem_npz(npz)
+    code = r"""
+import sys, time
+import numpy as np
+import scipy.linalg
+
+z = np.load(sys.argv[1])
+X0, K, poses_t, obs, uv = z["X"], z["K"], z["poses_t"], z["obs"], z["uv"]
+L, F = obs.shape
+P = X0.shape[0]
+
+def rodrigues(w):
+    th = np.linalg.norm(w, axis=-1, keepdims=True)
+    th = np.maximum(th, 1e-12)
+    k = w / th
+    th = th[..., None]
+    Kx = np.zeros(w.shape[:-1] + (3, 3), w.dtype)
+    Kx[..., 0, 1] = -k[..., 2]; Kx[..., 0, 2] = k[..., 1]
+    Kx[..., 1, 0] = k[..., 2];  Kx[..., 1, 2] = -k[..., 0]
+    Kx[..., 2, 0] = -k[..., 1]; Kx[..., 2, 1] = k[..., 0]
+    I = np.eye(3, dtype=w.dtype)
+    return I + np.sin(th) * Kx + (1 - np.cos(th)) * (Kx @ Kx)
+
+def solve(X0, rvec, tvec, iters=6):
+    X = X0.copy()
+    rvec = rvec.copy(); tvec = tvec.copy()
+    ov = obs >= 0
+    oidx = np.clip(obs, 0, None)
+    huber = np.sqrt(5.991)
+    free = np.ones(L, bool); free[:2] = False  # 2 gauge-fixed cameras
+    for it in range(iters):
+        R = rodrigues(rvec)                    # [L,3,3]
+        Xg = X[oidx]                           # [L,F,3]
+        pc = np.einsum("lij,lfj->lfi", R, Xg) + tvec[:, None, :]
+        x, y, zc = pc[..., 0], pc[..., 1], np.maximum(pc[..., 2], 1e-9)
+        iz = 1.0 / zc
+        ru = uv[..., 0] - (K[0] * x * iz + K[2])
+        rv = uv[..., 1] - (K[1] * y * iz + K[3])
+        chi = ru * ru + rv * rv
+        w = np.where(ov & (pc[..., 2] > 0), np.minimum(1.0, huber / np.sqrt(np.maximum(chi, 1e-12))), 0.0)
+        a00 = K[0] * iz; a02 = -K[0] * x * iz * iz
+        a11 = K[1] * iz; a12 = -K[1] * y * iz * iz
+        zero = np.zeros_like(x)
+        Ju = np.stack([-a00, zero, -a02, -a02 * y, -a00 * zc + a02 * x, a00 * y], -1)
+        Jv = np.stack([zero, -a11, -a12, a11 * zc - a12 * y, a12 * x, -a11 * x], -1)
+        Pu = -(R[:, None, 0, :] * a00[..., None] + R[:, None, 2, :] * a02[..., None])
+        Pv = -(R[:, None, 1, :] * a11[..., None] + R[:, None, 2, :] * a12[..., None])
+        # camera blocks
+        Hcc = np.einsum("lfi,lf,lfj->lij", Ju, w, Ju) + np.einsum("lfi,lf,lfj->lij", Jv, w, Jv)
+        bc = np.einsum("lfi,lf->li", Ju, w * ru) + np.einsum("lfi,lf->li", Jv, w * rv)
+        # point blocks via bincount scatter
+        flat = oidx.reshape(-1)
+        wf = (w * ov).reshape(-1)
+        PuF = Pu.reshape(-1, 3); PvF = Pv.reshape(-1, 3)
+        Hpp = np.zeros((P, 3, 3))
+        bp = np.zeros((P, 3))
+        for i in range(3):
+            bp[:, i] = np.bincount(flat, wf * (PuF[:, i] * ru.reshape(-1) + PvF[:, i] * rv.reshape(-1)), minlength=P)
+            for j in range(3):
+                Hpp[:, i, j] = np.bincount(flat, wf * (PuF[:, i] * PuF[:, j] + PvF[:, i] * PvF[:, j]), minlength=P)
+        lam = 1e-4
+        Hpp += (lam * (1 + np.trace(Hpp, axis1=1, axis2=2) / 3))[:, None, None] * np.eye(3)
+        Hpi = np.linalg.inv(Hpp)
+        # coupling W [L,F,6,3] scattered to per-camera dense point maps, then
+        # the whole Schur off-diagonal is two einsums (BLAS-backed)
+        Wlf = w[..., None, None] * (Ju[..., :, None] * Pu[..., None, :] + Jv[..., :, None] * Pv[..., None, :])
+        Wd = np.zeros((L, P, 6, 3))
+        lrep = np.repeat(np.arange(L), F)
+        np.add.at(Wd, (lrep, flat), (Wlf * ov[..., None, None]).reshape(-1, 6, 3))
+        WHid = np.einsum("lpij,pjk->lpik", Wd, Hpi, optimize=True)
+        A = WHid.transpose(0, 2, 1, 3).reshape(L * 6, P * 3)
+        B = Wd.transpose(0, 2, 1, 3).reshape(L * 6, P * 3)
+        S = -(A @ B.T).reshape(L, 6, L, 6).transpose(0, 2, 1, 3)  # one dgemm
+        S = np.ascontiguousarray(S)
+        S[np.arange(L), np.arange(L)] += Hcc
+        S[np.arange(L), np.arange(L)] += (lam * (1 + np.trace(Hcc, axis1=1, axis2=2) / 6))[:, None, None] * np.eye(6)
+        # gauge: identity rows for fixed cameras
+        for l in np.nonzero(~free)[0]:
+            S[l, :, :, :] = 0; S[:, l, :, :] = 0
+            S[l, l] = np.eye(6)
+        rhs = -(bc - (A @ bp.reshape(-1)).reshape(L, 6))
+        rhs[~free] = 0
+        Sm = S.transpose(0, 2, 1, 3).reshape(6 * L, 6 * L)
+        dc = scipy.linalg.cho_solve(scipy.linalg.cho_factor(Sm), rhs.reshape(-1)).reshape(L, 6)
+        dc[~free] = 0
+        # backsub: dp = Hpp^-1 (-(bp + W^T dc))
+        WTdc = (dc.reshape(-1) @ B).reshape(P, 3)
+        dp = np.einsum("pij,pj->pi", Hpi, -(bp + WTdc), optimize=True)
+        # retract
+        tvec = tvec + dc[:, :3]
+        dR = rodrigues(dc[:, 3:])
+        Rn = np.einsum("lij,ljk->lik", dR, rodrigues(rvec))
+        # rotation log (cheap)
+        tr = np.clip((np.trace(Rn, axis1=1, axis2=2) - 1) / 2, -1, 1)
+        ang = np.arccos(tr)
+        axis = np.stack([Rn[:, 2, 1] - Rn[:, 1, 2], Rn[:, 0, 2] - Rn[:, 2, 0], Rn[:, 1, 0] - Rn[:, 0, 1]], -1)
+        axis = axis / np.maximum(np.linalg.norm(axis, axis=-1, keepdims=True), 1e-12)
+        rvec = axis * ang[:, None]
+        X = X + dp
+    return X, rvec, tvec
+
+rvec0 = np.zeros((L, 3)); tvec0 = -poses_t.astype(np.float64)
+solve(X0.astype(np.float64), rvec0, tvec0, iters=1)  # warm caches
+t0 = time.perf_counter()
+solve(X0.astype(np.float64), rvec0, tvec0, iters=6)
+print((time.perf_counter() - t0) * 1000)
+"""
+    try:
+        res = subprocess.run([sys.executable, "-c", code, npz],
+                             capture_output=True, text=True, timeout=900)
+        os.unlink(npz)
+        return float(res.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
+
+
 def _cpu_ba_reference():
-    """Run the identical local-BA problem on the host CPU (separate process
-    so the platform can differ) — the 'CPU solver' baseline for the >=10x
-    target. Returns ms or None."""
+    """The identical JAX local-BA problem on the host CPU (context number
+    only — the honest speedup basis is `_cpu_sparse_ba_baseline`)."""
     import subprocess
 
     code = r"""

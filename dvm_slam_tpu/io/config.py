@@ -65,9 +65,29 @@ class OrbSettings:
 
 
 @dataclasses.dataclass
+class ImuSettings:
+    """`Settings::readIMU` fields (IMU.NoiseGyro/NoiseAcc/GyroWalk/AccWalk/
+    Frequency + the body-camera extrinsic Tbc)."""
+    noise_gyro: float = 1.7e-4
+    noise_acc: float = 2e-3
+    gyro_walk: float = 1.9e-5
+    acc_walk: float = 3e-3
+    frequency: float = 200.0
+    # camera-from-body SE3 [qw qx qy qz tx ty tz]; identity = camera==body
+    T_cb: tuple = (1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+    def calib(self):
+        from ..geometry.imu import ImuCalib
+
+        return ImuCalib.create(self.noise_gyro, self.noise_acc,
+                               self.gyro_walk, self.acc_walk, self.frequency)
+
+
+@dataclasses.dataclass
 class SystemSettings:
     camera: CameraSettings = dataclasses.field(default_factory=CameraSettings)
     orb: OrbSettings = dataclasses.field(default_factory=OrbSettings)
+    imu: ImuSettings = dataclasses.field(default_factory=ImuSettings)
     save_atlas_to_file: Optional[str] = None
     load_atlas_from_file: Optional[str] = None
     kf_capacity: int = 512
@@ -166,4 +186,25 @@ def settings_from_dict(raw: dict) -> SystemSettings:
     )
     s.save_atlas_to_file = _get(flat, "System.SaveAtlasToFile", default=None)
     s.load_atlas_from_file = _get(flat, "System.LoadAtlasFromFile", default=None)
+    # `Settings::readIMU` keys (Settings.cc; configs like euroc have an IMU
+    # block for the -inertial sensor modes)
+    imu = ImuSettings(
+        noise_gyro=float(_get(flat, "IMU.NoiseGyro", default=1.7e-4)),
+        noise_acc=float(_get(flat, "IMU.NoiseAcc", default=2e-3)),
+        gyro_walk=float(_get(flat, "IMU.GyroWalk", default=1.9e-5)),
+        acc_walk=float(_get(flat, "IMU.AccWalk", default=3e-3)),
+        frequency=float(_get(flat, "IMU.Frequency", default=200.0)),
+    )
+    tbc = _get(flat, "IMU.T_b_c1", "Tbc", default=None)
+    if tbc is not None and isinstance(tbc, dict) and "data" in tbc:
+        import numpy as _np
+        from ..geometry import lie as _lie
+        import jax.numpy as _jnp
+        M = _np.asarray(tbc["data"], _np.float32).reshape(4, 4)
+        # T_b_c: camera->body. We store camera-from-body = its inverse.
+        q = _lie.quat_from_matrix(_jnp.asarray(M[:3, :3]))
+        T_bc = _np.concatenate([_np.asarray(q), M[:3, 3]])
+        T_cb = _np.asarray(_lie.se3_inv(_jnp.asarray(T_bc)))
+        imu.T_cb = tuple(float(x) for x in T_cb)
+    s.imu = imu
     return s

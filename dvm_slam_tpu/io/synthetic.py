@@ -131,3 +131,72 @@ def smooth_trajectory(n_frames: int, lateral=2.5, forward=1.0, yaw=0.15,
         T_cw = np.asarray(lie.se3_inv(jnp.asarray(T_wc)))
         poses.append(T_cw)
     return poses
+
+
+def vi_trajectory(n_frames: int, fps: float = 10.0, imu_rate: float = 100.0,
+                  lateral=2.0, forward=0.5, yaw=0.08, z_amp=0.1,
+                  g=(0.0, 0.0, -9.81)):
+    """Analytic camera(=body) trajectory with exact IMU measurements.
+
+    Continuous-time version of `smooth_trajectory` sampled at the camera
+    rate, plus per-frame IMU sample chunks (acc, gyro, dts) covering
+    (t_{i-1}, t_i] derived from the same analytic pose function — the
+    synthetic stand-in for a real camera+IMU rig (webots has no IMU; the
+    reference evaluates VI on EuRoC/TUM-VI).
+
+    Returns (poses_T_cw [N][7] np, imu_chunks [N] list of (acc [M,3],
+    gyro [M,3], dts [M]) with imu_chunks[0] empty, vel_w [N,3])."""
+    g = np.asarray(g, np.float64)
+    T_total = (n_frames - 1) / fps
+
+    def center(t):
+        s = t / max(T_total, 1e-9)
+        return np.array([
+            lateral * np.sin(s * np.pi),
+            z_amp * np.sin(4 * np.pi * s),
+            forward * s,
+        ], np.float64)
+
+    def rot_wc(t):  # body(=camera)->world rotation
+        s = t / max(T_total, 1e-9)
+        yaw_i = yaw * np.sin(s * np.pi)
+        return np.asarray(lie.quat_to_matrix(
+            lie.so3_exp(jnp.array([0.0, yaw_i, 0.0], jnp.float32))
+        ), np.float64)
+
+    eps = 1e-4
+
+    def vel(t):
+        return (center(t + eps) - center(t - eps)) / (2 * eps)
+
+    def acc_w(t):
+        return (vel(t + eps) - vel(t - eps)) / (2 * eps)
+
+    poses, chunks, vels = [], [], []
+    dti = 1.0 / imu_rate
+    for i in range(n_frames):
+        t = i / fps
+        R = rot_wc(t)
+        c = center(t)
+        q = np.asarray(lie.quat_from_matrix(jnp.asarray(R, jnp.float32)))
+        T_wc = np.concatenate([q, c]).astype(np.float32)
+        poses.append(np.asarray(lie.se3_inv(jnp.asarray(T_wc))))
+        vels.append(vel(t).astype(np.float32))
+        if i == 0:
+            chunks.append((np.zeros((0, 3), np.float32),
+                           np.zeros((0, 3), np.float32),
+                           np.zeros((0,), np.float32)))
+            continue
+        tt = np.arange(t - 1.0 / fps, t - 1e-9, dti)
+        accs, gyrs, dts = [], [], []
+        for tk in tt:
+            R0, R1 = rot_wc(tk), rot_wc(tk + dti)
+            w = np.asarray(lie.so3_log(lie.quat_from_matrix(
+                jnp.asarray(R0.T @ R1, jnp.float32)))) / dti
+            a_b = R0.T @ (acc_w(tk) - g)
+            accs.append(a_b.astype(np.float32))
+            gyrs.append(w.astype(np.float32))
+            dts.append(dti)
+        chunks.append((np.stack(accs), np.stack(gyrs),
+                       np.asarray(dts, np.float32)))
+    return poses, chunks, np.stack(vels)

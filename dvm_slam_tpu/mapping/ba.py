@@ -241,3 +241,201 @@ def _resid_only(poses, points, pidx, kf_xy, K):
     u = K[0] * pc[..., 0] / zs + K[2]
     v = K[1] * pc[..., 1] / zs + K[3]
     return kf_xy - jnp.stack([u, v], axis=-1), z
+
+
+# --------------------------------------------------------------------------
+# matrix-free global BA: PCG on the Schur complement
+# --------------------------------------------------------------------------
+
+def _inv6x6_block(H, eps: float = 1e-12):
+    """Batched closed-form 6x6 inverse via 2x2-of-3x3 block Schur complement
+    (avoids the serial per-batch LU custom call, same rationale as inv3x3).
+    H: [...,6,6] assumed invertible (damped)."""
+    A = H[..., :3, :3]
+    B = H[..., :3, 3:]
+    C = H[..., 3:, :3]
+    D = H[..., 3:, 3:]
+    Ai = inv3x3(A, eps)
+    S = D - C @ Ai @ B
+    Si = inv3x3(S, eps)
+    AiB = Ai @ B
+    CAi = C @ Ai
+    top = jnp.concatenate([Ai + AiB @ Si @ CAi, -AiB @ Si], -1)
+    bot = jnp.concatenate([-Si @ CAi, Si], -1)
+    return jnp.concatenate([top, bot], -2)
+
+
+@partial(jax.jit, static_argnames=("lm_iters", "pcg_iters", "stage2_iters"))
+def bundle_adjust_pcg(
+    kf_pose,      # [L,7] poses (world->cam)
+    kf_fixed,     # [L] bool
+    kf_xy,        # [L,F,2] observations
+    kf_sigma2,    # [L,F]
+    obs_pt,       # [L,F] int32 row into pts, -1 = none
+    pts,          # [P,3]
+    pt_opt,       # [P] bool
+    K,            # [4]
+    lm_iters: int = 8,
+    pcg_iters: int = 30,
+    stage2_iters: int = 4,
+    damping: float = 1e-4,
+):
+    """Full-map bundle adjustment without the dense [L,F,P] incidence of
+    `bundle_adjust`: observation-list assembly + preconditioned conjugate
+    gradient on the implicit reduced camera system
+        S = Hcc - W Hpp^-1 W^T
+    (the `ITERATIVE_SCHUR` strategy). Memory is O(L*F), so it scales to the
+    full keyframe capacity — this is the path `LoopClosing::
+    RunGlobalBundleAdjustment` (`LoopClosing.cc:2267`) maps onto, with no
+    silent truncation of keyframes or points.
+
+    Returns (kf_pose', pts', total_chi2, inlier_mask [L,F])."""
+    L, F = obs_pt.shape
+    P = pts.shape[0]
+    dtype = pts.dtype
+    O = L * F
+
+    okf = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None], (L, F)).reshape(O)
+    opt_row = obs_pt.reshape(O)
+    ovalid0 = opt_row >= 0
+    optc = jnp.clip(opt_row, 0)
+    ouv = kf_xy.reshape(O, 2)
+    oinfo = (1.0 / jnp.maximum(kf_sigma2, 1e-12)).reshape(O)
+    free_cam = (~kf_fixed).astype(dtype)
+    popt = pt_opt.astype(dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+
+    def residuals(poses, points):
+        X = points[optc]                              # [O,3]
+        Rq = lie.se3_q(poses)[okf]
+        t = lie.se3_t(poses)[okf]
+        pc = lie.quat_rotate(Rq, X) + t
+        x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+        zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        inv_z = 1.0 / zs
+        ru = ouv[:, 0] - (K[0] * x * inv_z + K[2])
+        rv = ouv[:, 1] - (K[1] * y * inv_z + K[3])
+        return ru, rv, x, y, z, inv_z
+
+    def lm_step(carry, _):
+        poses, points, active = carry
+        ru, rv, x, y, z, inv_z = residuals(poses, points)
+        chi2 = (ru * ru + rv * rv) * oinfo
+        rn = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+        w = oinfo * active * jnp.minimum(1.0, HUBER_DELTA / rn) * (z > 0)
+
+        a00 = K[0] * inv_z
+        a02 = -K[0] * x * inv_z * inv_z
+        a11 = K[1] * inv_z
+        a12 = -K[1] * y * inv_z * inv_z
+        zero = jnp.zeros_like(x)
+        # camera Jacobian rows [O,6] (same closed form as bundle_adjust)
+        Ju = jnp.stack([-a00, zero, -a02, -a02 * y, -a00 * z + a02 * x, a00 * y], -1)
+        Jv = jnp.stack([zero, -a11, -a12, a11 * z - a12 * y, a12 * x, -a11 * x], -1)
+        Ju = Ju * free_cam[okf, None]
+        Jv = Jv * free_cam[okf, None]
+        # point Jacobian rows [O,3]: -(a00 R0 + a02 R2), -(a11 R1 + a12 R2)
+        Rm = lie.quat_to_matrix(lie.se3_q(poses))[okf]  # [O,3,3]
+        Pu = -(Rm[:, 0, :] * a00[:, None] + Rm[:, 2, :] * a02[:, None])
+        Pv = -(Rm[:, 1, :] * a11[:, None] + Rm[:, 2, :] * a12[:, None])
+        Pu = Pu * popt[optc, None]
+        Pv = Pv * popt[optc, None]
+
+        # blocks
+        Hcc = (
+            jnp.zeros((L, 6, 6), dtype)
+            .at[okf].add(w[:, None, None] * (Ju[:, :, None] * Ju[:, None, :]
+                                             + Jv[:, :, None] * Jv[:, None, :]))
+        )
+        bc = jnp.zeros((L, 6), dtype).at[okf].add(
+            w[:, None] * (Ju * ru[:, None] + Jv * rv[:, None])
+        )
+        Hpp = (
+            jnp.zeros((P, 3, 3), dtype)
+            .at[optc].add(w[:, None, None] * (Pu[:, :, None] * Pu[:, None, :]
+                                              + Pv[:, :, None] * Pv[:, None, :])
+                          * ovalid0[:, None, None])
+        )
+        bp = jnp.zeros((P, 3), dtype).at[optc].add(
+            (w * ovalid0)[:, None] * (Pu * ru[:, None] + Pv * rv[:, None])
+        )
+        Wo = w[:, None, None] * (Ju[:, :, None] * Pu[:, None, :]
+                                 + Jv[:, :, None] * Pv[:, None, :])  # [O,6,3]
+
+        trp = jnp.einsum("pii->p", Hpp)
+        lam_p = damping * (1.0 + trp / 3.0)
+        Hpp_d = Hpp + lam_p[:, None, None] * eye3
+        empty = trp < 1e-12
+        Hpp_inv = jnp.where(
+            empty[:, None, None], 0.0, inv3x3(jnp.where(empty[:, None, None], eye3, Hpp_d))
+        )
+
+        trc = jnp.einsum("lii->l", Hcc)
+        lam_c = damping * (1.0 + trc / 6.0)
+        Hcc_d = Hcc + lam_c[:, None, None] * eye6
+        Hcc_d = jnp.where(kf_fixed[:, None, None], eye6, Hcc_d)
+
+        def WT_x(xc):      # [L,6] -> [P,3]  (W^T x via obs scatter)
+            v = jnp.einsum("oij,oi->oj", Wo, xc[okf])
+            return jnp.zeros((P, 3), dtype).at[optc].add(v * ovalid0[:, None])
+
+        def W_u(u):        # [P,3] -> [L,6]
+            g = jnp.einsum("oij,oj->oi", Wo, u[optc]) * ovalid0[:, None]
+            return jnp.zeros((L, 6), dtype).at[okf].add(g)
+
+        def S_mv(xc):      # reduced-camera-system matvec
+            Hx = jnp.einsum("lij,lj->li", Hcc_d, xc)
+            u = jnp.einsum("pij,pj->pi", Hpp_inv, WT_x(xc))
+            return (Hx - W_u(u)) * free_cam[:, None] + xc * kf_fixed[:, None]
+
+        rhs = -(bc - W_u(jnp.einsum("pij,pj->pi", Hpp_inv, bp)))
+        rhs = rhs * free_cam[:, None]
+        Minv = _inv6x6_block(Hcc_d)  # block-Jacobi preconditioner
+
+        def pcg(rhs):
+            x0 = jnp.zeros((L, 6), dtype)
+            r0 = rhs
+            z0 = jnp.einsum("lij,lj->li", Minv, r0)
+            p0 = z0
+            rz0 = jnp.sum(r0 * z0)
+
+            def body(_, st):
+                xk, rk, pk, rzk = st
+                Ap = S_mv(pk)
+                alpha = rzk / jnp.maximum(jnp.sum(pk * Ap), 1e-30)
+                xk = xk + alpha * pk
+                rk = rk - alpha * Ap
+                zk = jnp.einsum("lij,lj->li", Minv, rk)
+                rzn = jnp.sum(rk * zk)
+                beta = rzn / jnp.maximum(rzk, 1e-30)
+                return xk, rk, zk + beta * pk, rzn
+
+            x, _, _, _ = jax.lax.fori_loop(0, pcg_iters, body, (x0, r0, p0, rz0))
+            return x
+
+        dc = pcg(rhs)
+        dc = jnp.where(jnp.isfinite(dc), dc, 0.0) * free_cam[:, None]
+        dp = jnp.einsum("pij,pj->pi", Hpp_inv, -(bp + WT_x(dc)))
+        dp = jnp.where(jnp.isfinite(dp), dp, 0.0) * pt_opt[:, None]
+
+        new_poses = jax.vmap(lie.se3_retract)(poses, dc)
+        new_points = points + dp
+        return (new_poses, new_points, active), jnp.sum(jnp.where(ovalid0, chi2, 0.0))
+
+    active0 = ovalid0.astype(dtype)
+    (poses, points, _), _ = jax.lax.scan(
+        lm_step, (kf_pose, pts, active0), None, length=lm_iters
+    )
+    # stage 2: drop outlier edges, re-optimize (reference two-stage scheme)
+    ru, rv, _, _, z, _ = residuals(poses, points)
+    chi2 = (ru * ru + rv * rv) * oinfo
+    stage2 = ovalid0 & (chi2 <= CHI2_MONO) & (z > 0)
+    (poses, points, _), _ = jax.lax.scan(
+        lm_step, (poses, points, stage2.astype(dtype)), None, length=stage2_iters
+    )
+    ru, rv, _, _, z, _ = residuals(poses, points)
+    chi2 = (ru * ru + rv * rv) * oinfo
+    inliers = ovalid0 & (chi2 <= CHI2_MONO) & (z > 0)
+    total = jnp.sum(jnp.where(inliers, chi2, 0.0))
+    return poses, points, total, inliers.reshape(L, F)

@@ -315,8 +315,11 @@ def local_ba(m: map_state.MapState, center, K,
     is_local_pt = jnp.zeros((P + 1,), bool).at[
         jnp.where(obs_l >= 0, obs_l, P).reshape(-1)
     ].set(True)[:P] & m.pt_valid
-    # select top n_pts local points (by index order — all if they fit)
-    sel_score = jnp.where(is_local_pt, 1.0, 0.0)
+    # select top n_pts local points ranked by observation count, so when the
+    # window holds more than n_pts the best-constrained points win (not the
+    # lowest slots)
+    nobs_all = map_state.point_observers(m).astype(jnp.float32)
+    sel_score = jnp.where(is_local_pt, 1.0 + nobs_all, 0.0)
     _, sel = jax.lax.top_k(sel_score, n_pts)
     sel_ok = is_local_pt[sel]
     inv = jnp.full((P + 1,), -1, jnp.int32).at[jnp.where(sel_ok, sel, P)].set(
@@ -392,41 +395,61 @@ def local_ba(m: map_state.MapState, center, K,
 
 @partial(jax.jit, static_argnames=("n_kf_max", "n_pts", "iters", "n_levels", "scale_factor"))
 def global_ba(m: map_state.MapState, K,
-              n_kf_max: int = 64, n_pts: int = 8192, iters: int = 10,
+              n_kf_max: int | None = None, n_pts: int | None = None,
+              iters: int = 10,
               n_levels: int = 8, scale_factor: float = 1.2):
-    """Global bundle adjustment over the first `n_kf_max` keyframe slots and
-    up to `n_pts` points (`Optimizer::GlobalBundleAdjustemnt`, `Optimizer.cc:48`;
-    spawned after merges by `LoopClosing::RunGlobalBundleAdjustment`,
-    `LoopClosing.cc:2267`). Keyframe 0 provides the gauge."""
+    """Global bundle adjustment (`Optimizer::GlobalBundleAdjustemnt`,
+    `Optimizer.cc:48`; spawned after merges by
+    `LoopClosing::RunGlobalBundleAdjustment`, `LoopClosing.cc:2267`).
+
+    Covers the FULL keyframe/point capacity by default — the matrix-free
+    Schur-PCG adjuster keeps memory at O(K*F), so no keyframe or point is
+    silently truncated. `n_kf_max`/`n_pts` remain as explicit prefix caps
+    for callers that want a bounded problem. Keyframe 0 is the gauge."""
     scales = jnp.asarray([scale_factor ** i for i in range(n_levels)], m.pt_pos.dtype)
     sigma2_lv = scales * scales
     P = m.pt_capacity
+    n_kf_max = m.kf_capacity if n_kf_max is None else n_kf_max
+    n_pts = P if n_pts is None else n_pts
 
     rows = jnp.arange(n_kf_max, dtype=jnp.int32)
     rmask = m.kf_valid[:n_kf_max]
     fixed = (rows == 0) | ~rmask
 
-    sel_score = jnp.where(m.pt_valid, 1.0, 0.0)
-    _, sel = jax.lax.top_k(sel_score, n_pts)
-    sel_ok = m.pt_valid[sel]
-    inv = jnp.full((P + 1,), -1, jnp.int32).at[jnp.where(sel_ok, sel, P)].set(
-        jnp.arange(n_pts, dtype=jnp.int32)
-    )[: P + 1]
+    if n_pts >= P:
+        # full point table: observation rows index pt_pos directly
+        obs_pt = jnp.where(
+            rmask[:, None] & (m.kf_obs[rows] >= 0)
+            & m.pt_valid[jnp.clip(m.kf_obs[rows], 0)],
+            m.kf_obs[rows], -1,
+        )
+        pts0, pt_opt, sel, sel_ok = m.pt_pos, m.pt_valid, None, None
+    else:
+        nobs = map_state.point_observers(m)
+        sel_score = jnp.where(m.pt_valid, nobs.astype(jnp.float32), 0.0)
+        _, sel = jax.lax.top_k(sel_score, n_pts)
+        sel_ok = m.pt_valid[sel]
+        inv = jnp.full((P + 1,), -1, jnp.int32).at[jnp.where(sel_ok, sel, P)].set(
+            jnp.arange(n_pts, dtype=jnp.int32)
+        )[: P + 1]
+        obs_pt_g = jnp.where(rmask[:, None], m.kf_obs[rows], -1)
+        obs_pt = jnp.where(obs_pt_g >= 0, inv[jnp.clip(obs_pt_g, 0)], -1)
+        pts0, pt_opt = m.pt_pos[sel], sel_ok
 
-    obs_pt_g = jnp.where(rmask[:, None], m.kf_obs[rows], -1)
-    obs_pt = jnp.where(obs_pt_g >= 0, inv[jnp.clip(obs_pt_g, 0)], -1)
-
-    new_poses, new_pts, chi2, inliers = ba.bundle_adjust(
+    new_poses, new_pts, chi2, inliers = ba.bundle_adjust_pcg(
         m.kf_pose[rows], fixed, m.kf_xy[rows], sigma2_lv[m.kf_level[rows]],
-        obs_pt, m.pt_pos[sel], sel_ok, K, iters=iters,
+        obs_pt, pts0, pt_opt, K, lm_iters=iters,
     )
     upd = rmask & ~fixed
     kf_pose = m.kf_pose.at[rows].set(
         jnp.where(upd[:, None], new_poses, m.kf_pose[rows])
     )
-    ptgt = jnp.where(sel_ok, sel, P)
-    ppad = jnp.concatenate([m.pt_pos, jnp.zeros((1, 3), m.pt_pos.dtype)])
-    pt_pos = ppad.at[ptgt].set(jnp.where(sel_ok[:, None], new_pts, ppad[ptgt]))[:-1]
+    if sel is None:
+        pt_pos = jnp.where(m.pt_valid[:, None], new_pts, m.pt_pos)
+    else:
+        ptgt = jnp.where(sel_ok, sel, P)
+        ppad = jnp.concatenate([m.pt_pos, jnp.zeros((1, 3), m.pt_pos.dtype)])
+        pt_pos = ppad.at[ptgt].set(jnp.where(sel_ok[:, None], new_pts, ppad[ptgt]))[:-1]
     return m._replace(kf_pose=kf_pose, pt_pos=pt_pos), chi2
 
 
@@ -440,14 +463,159 @@ class LocalMapper:
     caller-scheduled) batched device calls."""
 
     def __init__(self, n_neighbors=5, ba_local=16, ba_fixed=16, ba_pts=4096,
-                 ba_iters=8, run_ba_every=1):
+                 ba_iters=8, run_ba_every=1, imu_init_kfs=8,
+                 imu_init_min_time=2.0, vi_window=10):
         self.n_neighbors = n_neighbors
         self.ba_local = ba_local
         self.ba_fixed = ba_fixed
         self.ba_pts = ba_pts
         self.ba_iters = ba_iters
         self.run_ba_every = run_ba_every
+        self.imu_init_kfs = imu_init_kfs
+        self.imu_init_min_time = imu_init_min_time
+        self.vi_window = vi_window
+        self._kfs_at_init = 0
+        self._scale_refinements = 0
         self._kf_count = 0
+
+    # ------------------------------------------------------------------
+    # visual-inertial stages (`LocalMapping.cc:199-256,1174,1413`)
+    # ------------------------------------------------------------------
+
+    def _chain_arrays(self, tracker, slots):
+        """Stack inertial states + preintegrations for a slot chain."""
+        from ..geometry import lie
+        from . import vi_ba
+
+        m = tracker.map
+        idx = jnp.asarray(slots, jnp.int32)
+        T_cb_inv = lie.se3_inv(tracker.T_cb)
+        T_bw = jax.vmap(lambda T: lie.se3_mul(T_cb_inv, T))(m.kf_pose[idx])
+        v = jnp.asarray(np.stack([
+            tracker.kf_vel.get(s, np.zeros(3, np.float32)) for s in slots
+        ]))
+        pres, valid = [], []
+        for s in slots[1:]:
+            pre = tracker.kf_preint.get(s)
+            if pre is None:
+                from ..geometry import imu as imu_mod
+                pre = imu_mod.create_preintegrated()
+                valid.append(False)
+            else:
+                valid.append(True)
+            pres.append(pre)
+        pres = jax.tree.map(lambda *x: jnp.stack(x), *pres)
+        return T_bw, v, pres, jnp.asarray(valid)
+
+    def initialize_imu(self, tracker):
+        """`LocalMapping::InitializeIMU` (`LocalMapping.cc:1174`) +
+        `ScaleRefinement` (`:1413`): gyro bias from rotation alignment,
+        gravity direction + metric scale + velocities from the linear VI
+        init, then re-base the whole map (ApplyScaledRotation) so gravity is
+        canonical and the map is metric, and finish with a full-chain VI-BA
+        (the VIBA1/VIBA2 role)."""
+        from ..geometry import lie
+        from ..loopclosing import merge as merge_mod
+        from . import vi_ba
+
+        slots = list(tracker.kf_chain)
+        T_bw, v0, pres, pre_valid = self._chain_arrays(tracker, slots)
+        if not bool(jnp.all(pre_valid)):
+            return False
+        bg = vi_ba.estimate_gyro_bias(T_bw, pres)
+        s, g_w, vels = vi_ba.estimate_gravity_scale(T_bw, None, pres, bias_g=bg)
+        s = float(s)
+        if not (0.02 < s < 50.0) or not np.isfinite(np.asarray(g_w)).all():
+            return False
+        Rq = vi_ba.gravity_alignment_rotation(g_w)
+        S = jnp.concatenate([Rq, jnp.zeros(3), jnp.asarray([s])])
+        tracker.map = merge_mod.transform_map(tracker.map, S)
+        tracker.apply_world_sim3(S)
+        R_align = lie.quat_to_matrix(Rq)
+        for i, sl in enumerate(slots):
+            tracker.kf_vel[sl] = np.asarray(R_align @ vels[i], np.float32)
+        tracker.bias_g = np.asarray(bg, np.float32)
+        tracker.vel_w = tracker.kf_vel[slots[-1]]
+        tracker.imu_initialized = True
+        # VIBA over the whole chain (VIBA1/VIBA2, LocalMapping.cc:228-256)
+        tracker.map = self._vi_local_ba(tracker, slots[-1],
+                                        window=len(slots))
+        tracker.last_pose = tracker.map.kf_pose[slots[-1]]
+        return True
+
+    def refine_scale(self, tracker):
+        """`LocalMapping::ScaleRefinement` (`LocalMapping.cc:1413`):
+        re-estimate the residual metric scale + gravity direction on the
+        current keyframe chain and re-base the map by it when meaningful."""
+        from ..geometry import lie
+        from ..loopclosing import merge as merge_mod
+        from . import vi_ba
+
+        slots = list(tracker.kf_chain)
+        if len(slots) < 4 or not all(s in tracker.kf_preint for s in slots[1:]):
+            return False
+        T_bw, v0, pres, pre_valid = self._chain_arrays(tracker, slots)
+        if not bool(jnp.all(pre_valid)):
+            return False
+        s, g_w, vels = vi_ba.estimate_gravity_scale(
+            T_bw, None, pres, bias_g=tracker.bias_g)
+        s = float(s)
+        self._scale_refinements += 1
+        if not (0.5 < s < 2.0) or not np.isfinite(np.asarray(g_w)).all():
+            return False
+        Rq = vi_ba.gravity_alignment_rotation(g_w)
+        S = jnp.concatenate([Rq, jnp.zeros(3), jnp.asarray([s])])
+        tracker.map = merge_mod.transform_map(tracker.map, S)
+        tracker.apply_world_sim3(S)
+        R_align = lie.quat_to_matrix(Rq)
+        for i, sl in enumerate(slots):
+            tracker.kf_vel[sl] = np.asarray(R_align @ vels[i], np.float32)
+        tracker.vel_w = tracker.kf_vel[slots[-1]]
+        return True
+
+    def _vi_local_ba(self, tracker, center_slot, window=None):
+        """`Optimizer::LocalInertialBA` (`Optimizer.cc:2214`): joint VI-BA
+        over the most recent chain window; the oldest window pose is the
+        gauge (its velocity/bias stay free, like the reference)."""
+        from ..geometry import lie
+        from . import vi_ba
+
+        m = tracker.map
+        fc = tracker.config.frontend
+        window = window or self.vi_window
+        slots = list(tracker.kf_chain)[-window:]
+        if len(slots) < 2:
+            return m
+        T_bw, v0, pres, pre_valid = self._chain_arrays(tracker, slots)
+        L = len(slots)
+        bgt = jnp.asarray(np.tile(tracker.bias_g, (L, 1)))
+        bat = jnp.asarray(np.tile(tracker.bias_a, (L, 1)))
+        win = vi_ba.ViWindow(T_bw=T_bw, v=v0, bg=bgt, ba=bat)
+        fixed = jnp.zeros(L, bool).at[0].set(True)
+        idx = jnp.asarray(slots, jnp.int32)
+        scales = jnp.asarray([fc.scale_factor ** i for i in range(fc.n_levels)])
+        sigma2_lv = scales * scales
+        obs_pt = jnp.where(
+            (m.kf_obs[idx] >= 0) & m.pt_valid[jnp.clip(m.kf_obs[idx], 0)],
+            m.kf_obs[idx], -1,
+        )
+        w2, pts2, chi2 = vi_ba.vi_bundle_adjust(
+            win, fixed, m.kf_xy[idx], sigma2_lv[m.kf_level[idx]], obs_pt,
+            m.pt_pos, m.pt_valid, tracker.K, tracker.T_cb, pres, pre_valid,
+            iters=self.ba_iters,
+        )
+        T_cw_new = jax.vmap(lambda T: lie.se3_mul(tracker.T_cb, T))(w2.T_bw)
+        kf_pose = m.kf_pose.at[idx].set(
+            jnp.where(jnp.arange(L)[:, None] > 0, T_cw_new, m.kf_pose[idx])
+        )
+        pt_pos = jnp.where(m.pt_valid[:, None], pts2, m.pt_pos)
+        v_np = np.asarray(w2.v)
+        for i, sl in enumerate(slots):
+            tracker.kf_vel[sl] = v_np[i]
+        tracker.vel_w = v_np[-1]
+        tracker.bias_g = np.asarray(w2.bg[-1])
+        tracker.bias_a = np.asarray(w2.ba[-1])
+        return m._replace(kf_pose=kf_pose, pt_pos=pt_pos)
 
     def on_initial_map(self, tracker):
         fc = tracker.config.frontend
@@ -473,22 +641,50 @@ class LocalMapper:
         )
         m = map_state.update_point_stats(m, fc.n_levels, fc.scale_factor)
         self._kf_count += 1
+        inertial_live = tracker.inertial and tracker.imu_initialized
         if self._kf_count % self.run_ba_every == 0:
-            m, _ = local_ba(
-                m, c, tracker.K,
-                n_local=self.ba_local, n_fixed=self.ba_fixed,
-                n_pts=self.ba_pts, iters=self.ba_iters,
-                n_levels=fc.n_levels, scale_factor=fc.scale_factor,
-            )
+            if inertial_live:
+                # LocalInertialBA replaces the visual local BA once the IMU
+                # is initialized (`LocalMapping.cc:167-175`)
+                tracker.map = m
+                m = self._vi_local_ba(tracker, slot)
+            else:
+                m, _ = local_ba(
+                    m, c, tracker.K,
+                    n_local=self.ba_local, n_fixed=self.ba_fixed,
+                    n_pts=self.ba_pts, iters=self.ba_iters,
+                    n_levels=fc.n_levels, scale_factor=fc.scale_factor,
+                )
             m = map_state.update_point_stats(m, fc.n_levels, fc.scale_factor)
         tracker.map = m
         tracker.last_pose = m.kf_pose[slot]
+        # IMU initialization schedule (`LocalMapping::InitializeIMU`,
+        # `LocalMapping.cc:199-256,1174`): enough keyframes, or a smaller
+        # chain already spanning >= 2 s (the reference's mTinit window)
+        if tracker.inertial and not tracker.imu_initialized:
+            chain = tracker.kf_chain
+            span = 0.0
+            if len(chain) >= 2:
+                ts = tracker.kf_timestamps
+                span = ts.get(chain[-1], 0.0) - ts.get(chain[0], 0.0)
+            ready = (len(chain) >= self.imu_init_kfs
+                     or (len(chain) >= 4 and span >= self.imu_init_min_time))
+            if ready and all(s in tracker.kf_preint for s in chain[1:]):
+                if self.initialize_imu(tracker):
+                    self._kfs_at_init = len(tracker.kf_chain)
+        elif tracker.inertial and tracker.imu_initialized:
+            # `LocalMapping::ScaleRefinement` (`LocalMapping.cc:1413`): the
+            # reference re-estimates scale/gravity at later checkpoints —
+            # the first linear init uses few keyframes and its scale error
+            # propagates to the whole trajectory otherwise
+            grown = len(tracker.kf_chain) - getattr(self, "_kfs_at_init", 0)
+            if self._scale_refinements < 3 and grown >= 4 * (self._scale_refinements + 1):
+                self.refine_scale(tracker)
 
-        # assign uuids for newly created points
-        npts = int(m.n_pt)
-        meta = tracker.meta
-        fresh = meta.pt_uuid[:npts].sum(axis=1) == 0
-        nf = int(fresh.sum())
-        if nf:
-            meta.pt_uuid[:npts][fresh] = meta.new_uuids(nf)
-            meta.pt_creator[:npts][fresh] = meta.agent_id
+        # uuid assignment for newly created points is DEFERRED: pulling
+        # `int(m.n_pt)` here would block the host on the whole dispatched
+        # mapping chain (cull/triangulate/fuse/BA), serializing tracking
+        # with mapping — the reference overlaps these via threads
+        # (System.cc:209,226). The tracker flushes lazily when metadata is
+        # actually consumed (protocol/serialization paths).
+        tracker.meta_dirty = True

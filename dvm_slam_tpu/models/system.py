@@ -32,6 +32,7 @@ from ..placerec import vocabulary
 from ..tracking import tracker as trk
 
 MONOCULAR = "monocular"
+IMU_MONOCULAR = "imu-monocular"
 
 
 class System:
@@ -39,23 +40,28 @@ class System:
                  sensor: str = MONOCULAR, agent_id: int = 0,
                  vocabulary_file: Optional[str] = None,
                  use_viewer: bool = False):
-        if sensor != MONOCULAR:
+        if sensor not in (MONOCULAR, IMU_MONOCULAR):
             raise NotImplementedError(
-                "monocular only — the reference's stereo/RGBD/inertial modes "
-                "are tracked as capability gaps for later rounds"
+                "monocular / imu-monocular only — stereo/RGBD modes are "
+                "tracked as capability gaps for later rounds"
             )
         if isinstance(settings, str):
             settings = config_mod.load_settings(settings)
         self.settings = settings
+        self.sensor = sensor
         self.agent_id = agent_id
         self.voc = (vocabulary.load(vocabulary_file)
                     if vocabulary_file else None)
         cfg = settings.tracker_config()
         self.mapper = local_mapping.LocalMapper()
+        inertial = sensor == IMU_MONOCULAR
         self.tracker = trk.MonocularTracker(
             cfg, settings.camera.K(),
             np.asarray(settings.camera.dist, np.float32),
             local_mapper=self.mapper, rng_seed=agent_id,
+            inertial=inertial,
+            imu_calib=settings.imu.calib() if inertial else None,
+            T_cb=np.asarray(settings.imu.T_cb, np.float32) if inertial else None,
         )
         self.tracker.meta.agent_id = agent_id
         self.use_viewer = use_viewer
@@ -91,6 +97,17 @@ class System:
             ))
         return self.tracker.process_image(img.astype(np.float32), timestamp)
 
+    def track_monocular_inertial(self, img, timestamp: float,
+                                 acc, gyro, dts):
+        """`System::TrackMonocular` with queued IMU samples (the
+        IMU_MONOCULAR sensor mode): acc [M,3] m/s^2, gyro [M,3] rad/s,
+        dts [M] s since the previous frame."""
+        self.tracker.grab_imu(acc, gyro, dts)
+        return self.track_monocular(img, timestamp)
+
+    def is_imu_initialized(self):
+        return self.tracker.imu_initialized
+
     def get_tracking_state(self):
         return self.tracker.state
 
@@ -104,6 +121,7 @@ class System:
     # -- map exchange (System.cc:1382-1426 equivalents) ------------------
 
     def serialize_map(self, own_only: bool = False) -> bytes:
+        self.tracker.flush_meta()
         n = int(self.map.n_kf)
         mask = np.asarray(self.map.kf_valid).copy()
         mask[n:] = False

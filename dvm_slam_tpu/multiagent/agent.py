@@ -47,18 +47,24 @@ MIN_KEY_FRAMES_FOR_MERGE = 12      # :466,551
 CULLING_WINDOW = 3                 # :243 (maxId - 3)
 SCALE_ALIGN_BASE_INTERVAL = 5.0    # 5 s wall timer, :123
 
+# batched BoW transform: vmap over keyframes, one call per protocol tick
+_bow_batch = jax.jit(
+    jax.vmap(vocabulary.bow_vector, in_axes=(None, None, 0, 0, None, None)),
+    static_argnums=(4, 5),
+)
+
 
 class SlamAgent:
     def __init__(self, agent_id: int, config: trk.TrackerConfig, K, dist,
                  voc: vocabulary.Vocabulary, transport, peer_ids,
                  mapper: local_mapping.LocalMapper | None = None,
                  rng_seed: int | None = None,
-                 post_merge_pose_graph: bool = False,
-                 post_merge_global_ba: bool = False):
-        # post-merge optimization stages of `LoopClosing::MergeLocal`
-        # (`LoopClosing.cc:1747` essential graph, `:1796` GBA thread) —
-        # opt-in; the welding local BA alone matches the accuracy gates of
-        # the e2e tests and keeps merge latency low
+                 post_merge_pose_graph: bool = True,
+                 post_merge_global_ba: bool = True):
+        # post-merge optimization stages of `LoopClosing::MergeLocal` —
+        # default ON to match the reference, which always runs the welding
+        # BA *plus* essential-graph optimization *plus* a GBA thread on
+        # every merge (`LoopClosing.cc:1657,1747,1796`)
         self.post_merge_pose_graph = post_merge_pose_graph
         self.post_merge_global_ba = post_merge_global_ba
         self.agent_id = agent_id
@@ -137,21 +143,35 @@ class SlamAgent:
         return [i for i in range(n) if valid[i] and creators[i] == self.agent_id]
 
     def _update_bow_db(self):
-        """Register BoWs of all new valid keyframes (own and spliced)."""
+        """Register BoWs of all new valid keyframes (own and spliced).
+
+        Batched: one padded device call per frame instead of a per-slot
+        loop — at 512-KF caps x 8 agents the per-slot dispatch dominated
+        the protocol loop. Pad counts to powers of two so jit traces stay
+        cached across batch sizes."""
         n = int(self.map.n_kf)
         valid = np.asarray(self.map.kf_valid[:n])
-        for slot in range(n):
-            if slot in self._db_slots or not valid[slot]:
-                continue
-            bow = vocabulary.bow_vector(
-                self.voc_levels, self.voc_idf,
-                self.map.kf_desc[slot], self.map.kf_feat_valid[slot],
-                self.voc.branch, self.voc.n_words,
-            )
-            self.db = database.add(self.db, jnp.int32(slot), bow)
-            self._db_slots.add(slot)
-            if self.meta.kf_creator[slot] == self.agent_id:
-                self._kf_bows[slot] = bow
+        new_slots = [s for s in range(n)
+                     if s not in self._db_slots and valid[s]]
+        if not new_slots:
+            return
+        k = len(new_slots)
+        pad = 1 << (k - 1).bit_length()
+        idx = jnp.asarray(new_slots + [new_slots[-1]] * (pad - k), jnp.int32)
+        bows = _bow_batch(
+            self.voc_levels, self.voc_idf,
+            self.map.kf_desc[idx], self.map.kf_feat_valid[idx],
+            self.voc.branch, self.voc.n_words,
+        )
+        self.db = database.add_many(self.db, idx, bows)
+        self._db_slots.update(new_slots)
+        own = [i for i, s in enumerate(new_slots)
+               if self.meta.kf_creator[s] == self.agent_id]
+        if own:
+            bows_np = np.asarray(bows[:k])  # one host pull for the batch
+            for i in own:
+                slot = new_slots[i]
+                self._kf_bows[slot] = bows_np[i]
                 # own-map loop detection: triggers recorded, correction
                 # disabled like the reference (LoopClosing.cc:328-339)
                 found, info = self.loop_detector.on_keyframe(
@@ -216,6 +236,7 @@ class SlamAgent:
 
     def _send_new_key_frames(self):
         """Incremental sharing to merged peers (`:212-384`)."""
+        self.tracker.flush_meta()
         for peer in self.peers:
             if not peer.successfully_merged or peer.is_lost_from_base_map:
                 continue
@@ -288,6 +309,7 @@ class SlamAgent:
         >= 12 KFs, 0.9x-baseline BoW rule."""
         if not self.peers.is_lead_node():
             return
+        self.tracker.flush_meta()
         peer = self.peers[m.sender_agent_id]
         if peer.successfully_merged:
             return
@@ -336,6 +358,7 @@ class SlamAgent:
     def _attempt_merge(self, peer_id: int, blob: bytes, candidate_uuids):
         """Deserialize a foreign map and try Sim3 merge on the candidate
         keyframes (`System::AddSerializedMapToTryMerge` + LoopClosing merge)."""
+        self.tracker.flush_meta()
         if self.peers[peer_id].successfully_merged:
             return False  # a second in-flight copy of an already-done merge
         packet = codec.MapPacket.from_bytes(blob)
@@ -381,6 +404,13 @@ class SlamAgent:
             )
             if not bool(res.ok):
                 continue
+            if self.tracker.inertial and self.tracker.imu_initialized:
+                # inertial maps are metric: reject scale outside [0.90, 1.1]
+                # (`LoopClosing.cc:151`)
+                sc = float(res.S_ab[7])
+                if not (0.90 <= sc <= 1.1):
+                    self.log.append(("merge_scale_rejected", peer_id, sc))
+                    continue
             self._do_merge(peer_id, mB, metaB, res.S_ab, kfA)
             return True
         self.log.append(("merge_failed", peer_id, tried))
@@ -402,6 +432,10 @@ class SlamAgent:
         merged, meta, kf_map, pt_map = merge_mod.merge_maps(
             self.map, self.meta, mB, metaB, S_for_splice
         )
+        # pre-correction poses: the relative transforms between them are the
+        # essential-graph edge *measurements* (the reference's
+        # NonCorrectedSim3 side of OptimizeEssentialGraph, Optimizer.cc:1389)
+        poses_pre = merged.kf_pose
         merged = local_mapping.fuse_duplicates(
             merged, jnp.int32(weld_kf), self.tracker.K,
             n_neighbors=5, n_levels=fc.n_levels, scale_factor=fc.scale_factor,
@@ -412,12 +446,12 @@ class SlamAgent:
             n_levels=fc.n_levels, scale_factor=fc.scale_factor,
         )
         if self.post_merge_pose_graph:
-            merged = self._run_pose_graph(merged, weld_kf)
+            merged = self._run_pose_graph(merged, weld_kf, poses_pre)
         if self.post_merge_global_ba:
+            # full-map GBA (matrix-free Schur PCG — no KF/point truncation),
+            # the role of the reference's GBA thread (LoopClosing.cc:1796)
             merged, _ = local_mapping.global_ba(
-                merged, self.tracker.K,
-                n_kf_max=min(64, self.config.kf_cap),
-                n_pts=min(8192, self.config.pt_cap), iters=8,
+                merged, self.tracker.K, iters=8,
                 n_levels=fc.n_levels, scale_factor=fc.scale_factor,
             )
         self.tracker.map = merged
@@ -445,10 +479,16 @@ class SlamAgent:
         )
         self.log.append(("merged", peer_id))
 
-    def _run_pose_graph(self, m, anchor_kf: int):
+    def _run_pose_graph(self, m, anchor_kf: int, poses_pre):
         """Sim3 essential-graph optimization over the merged map
-        (`Optimizer::OptimizeEssentialGraph` via loopclosing.pose_graph),
-        anchored at the weld keyframe + keyframe 0."""
+        (`Optimizer::OptimizeEssentialGraph` via loopclosing.pose_graph).
+
+        Edge measurements come from `poses_pre` — the poses at splice time,
+        BEFORE the welding local BA corrected the window around `anchor_kf`
+        (the reference's NonCorrectedSim3). Nodes the welding BA moved are
+        held fixed (CorrectedSim3 side); the optimization then distributes
+        their correction through the rest of the graph instead of being a
+        no-op on zero residuals."""
         from ..loopclosing import pose_graph
 
         covis = map_state.covisibility(m)
@@ -461,11 +501,17 @@ class SlamAgent:
         if len(ei) == 0:
             return m
         poses = jax.vmap(lie.sim3_from_se3)(m.kf_pose)
-        meas = jax.vmap(lambda a, b: lie.sim3_mul(poses[a], lie.sim3_inv(poses[b])))(
-            jnp.asarray(ei), jnp.asarray(ej)
-        )
-        fixed = jnp.zeros((Kcap,), bool).at[0].set(True).at[anchor_kf].set(True)
+        meas_src = jax.vmap(lie.sim3_from_se3)(poses_pre)
+        meas = jax.vmap(
+            lambda a, b: lie.sim3_mul(meas_src[a], lie.sim3_inv(meas_src[b]))
+        )(jnp.asarray(ei), jnp.asarray(ej))
+        corrected = np.any(
+            np.asarray(m.kf_pose) != np.asarray(poses_pre), axis=1
+        )  # the welding window the local BA moved
+        fixed = jnp.asarray(corrected).at[0].set(True).at[anchor_kf].set(True)
         fixed = fixed | ~m.kf_valid
+        if bool(jnp.all(fixed)):
+            return m  # nothing free to distribute the correction to
         new_poses, _ = pose_graph.optimize_pose_graph(
             poses, fixed, jnp.asarray(ei), jnp.asarray(ej), meas,
             jnp.ones((len(ei),), bool), iters=12,
@@ -571,6 +617,7 @@ class SlamAgent:
     def _receive_new_key_frames(self, m: msgs.NewKeyFrames):
         """External keyframe ingestion (`:386-455` + `LocalMapping.cc:302-354`):
         uuid-relinked splice, duplicate fusion, one local BA after the batch."""
+        self.tracker.flush_meta()
         packet = codec.MapPacket.from_bytes(m.serialized_map)
         if packet.n_kf == 0:
             return
@@ -606,6 +653,7 @@ class SlamAgent:
     def _srv_get_current_map(self, caller, req: msgs.GetCurrentMapRequest):
         """`handleGetCurrentMapRequest` (`:150-172`): deep-copied map pruned
         to own-creator keyframes."""
+        self.tracker.flush_meta()
         own = self._own_kf_slots()
         mask = np.zeros(self.map.kf_capacity, bool)
         mask[own] = True
@@ -616,6 +664,7 @@ class SlamAgent:
         )
 
     def _srv_get_map_points(self, caller, req):
+        self.tracker.flush_meta()
         n = int(self.map.n_pt)
         valid = np.asarray(self.map.pt_valid[:n])
         return msgs.GetMapPointsResponse(
@@ -628,6 +677,7 @@ class SlamAgent:
     # ------------------------------------------------------------------
 
     def _update_map_scale(self, ts):
+        self.tracker.flush_meta()
         self._next_scale_ts = ts + self._scale_interval
         target = self.peers.lowest_merged_peer()
         if target is None or target > self.agent_id:

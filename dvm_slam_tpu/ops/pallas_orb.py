@@ -155,8 +155,8 @@ def orient_and_describe(img_raw, img_blur, xy, interpret: bool = False):
         num_scalar_prefetch=1,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # raw image (DMA'd)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # blurred image
+            pl.BlockSpec(memory_space=pl.ANY),   # raw image (DMA'd)
+            pl.BlockSpec(memory_space=pl.ANY),   # blurred image
             pl.BlockSpec(memory_space=pltpu.VMEM),  # circular mask
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ys
             pl.BlockSpec(memory_space=pltpu.VMEM),  # xs

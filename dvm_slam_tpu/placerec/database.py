@@ -48,6 +48,16 @@ def add(db: BowDatabase, slot, bow) -> BowDatabase:
     )
 
 
+@jax.jit
+def add_many(db: BowDatabase, slots, bows) -> BowDatabase:
+    """Register a batch of keyframes in one device call: slots [n] int32,
+    bows [n,W] (duplicate slots allowed — last write wins)."""
+    return BowDatabase(
+        bow=db.bow.at[slots].set(bows),
+        valid=db.valid.at[slots].set(True),
+    )
+
+
 def _common_words(q, bows):
     qb = (q > 0).astype(jnp.bfloat16)
     bb = (bows > 0).astype(jnp.bfloat16)
@@ -115,7 +125,9 @@ def detect_merge_possibility(db: BowDatabase, q, covis):
 
     self_mask = jnp.zeros(db.valid.shape, bool).at[best].set(True)
     baseline, _ = best_group_match(db, db.bow[best], self_mask, covis)
-    possible = (score > 0.0) & (score > baseline * 0.9)
+    # a zero baseline means the best match has no own-map support at all —
+    # the 0.9x rule is only meaningful against a positive baseline
+    possible = (score > 0.0) & (baseline > 0.0) & (score > baseline * 0.9)
     return possible, best, score, baseline
 
 

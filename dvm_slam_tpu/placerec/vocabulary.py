@@ -48,7 +48,11 @@ def _majority(bits):
 
 
 def _binary_kmeans(rng, descs, k, iters=8):
-    """Binary k-means: returns [k,256] centers (padded by resampling)."""
+    """Binary k-means: returns [k,256] centers (padded by resampling).
+
+    Hamming distances via the matmul identity |a xor b| = |a| + |b| - 2 a.b
+    (one sgemm instead of an [N,k,256] boolean broadcast) so training a
+    10^4-word tree over ~10^5 descriptors stays minutes, not hours."""
     n = descs.shape[0]
     if n == 0:
         return np.zeros((k, 256), np.uint8)
@@ -57,8 +61,11 @@ def _binary_kmeans(rng, descs, k, iters=8):
         centers = np.concatenate(
             [centers, descs[rng.randint(0, n, k - centers.shape[0])]]
         )
+    df = descs.astype(np.float32)
+    pop_d = df.sum(-1)
     for _ in range(iters):
-        d = (descs[:, None, :] != centers[None, :, :]).sum(-1)  # [N,k]
+        cf = centers.astype(np.float32)
+        d = pop_d[:, None] + cf.sum(-1)[None, :] - 2.0 * (df @ cf.T)  # [N,k]
         assign = d.argmin(1)
         for c in range(k):
             sel = descs[assign == c]
@@ -113,6 +120,17 @@ def load(path: str) -> Vocabulary:
         levels=[z[f"level{i}"] for i in range(depth)],
         idf=z["idf"], branch=int(z["branch"]), depth=depth,
     )
+
+
+def load_default() -> Vocabulary:
+    """The shipped pretrained vocabulary (data/voc_default.npz) — the role
+    of the reference's ORBvoc.txt, at 10^4 words instead of 10^6 (dense
+    [K,W] BoW storage; recall saturates far below 10^6 at SLAM map sizes,
+    and the precision/recall test in tests/test_placerec.py quantifies it)."""
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    return load(os.path.join(here, "..", "..", "data", "voc_default.npz"))
 
 
 @partial(jax.jit, static_argnames=("branch",))

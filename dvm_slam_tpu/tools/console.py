@@ -19,7 +19,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import pickle
 
 import numpy as np
 import jax.numpy as jnp
@@ -172,9 +171,11 @@ def record_run(out_dir, agents, bus, gt):
         viz.export_pointcloud_ply(os.path.join(out_dir, f"robot{aid}_map.ply"), a.map)
     with open(os.path.join(out_dir, "bandwidth.json"), "w") as f:
         json.dump(bus.bandwidth_report(), f, indent=2)
-    with open(os.path.join(out_dir, "gt.pkl"), "wb") as f:
-        pickle.dump({aid: [(t, e, np.asarray(g)) for t, e, g in v]
-                     for aid, v in gt.items()}, f)
+    from ..multiagent import wirecodec
+    with open(os.path.join(out_dir, "gt.bin"), "wb") as f:
+        f.write(wirecodec.dumps({aid: [(t, np.asarray(e), np.asarray(g))
+                                       for t, e, g in v]
+                                 for aid, v in gt.items()}))
 
 
 def evaluate(run_dir):
@@ -182,8 +183,9 @@ def evaluate(run_dir):
     aligned) + bandwidth summary."""
     from ..eval import metrics
 
-    with open(os.path.join(run_dir, "gt.pkl"), "rb") as f:
-        gt = pickle.load(f)
+    from ..multiagent import wirecodec
+    with open(os.path.join(run_dir, "gt.bin"), "rb") as f:
+        gt = wirecodec.loads(f.read())
     report = {"agents": {}, "bandwidth": {}}
     for aid, rows in gt.items():
         if len(rows) < 3:

@@ -177,10 +177,26 @@ class MonocularTracker:
     """
 
     def __init__(self, config: TrackerConfig, K, dist, local_mapper=None,
-                 rng_seed=0, relocalizer=None):
+                 rng_seed=0, relocalizer=None, inertial=False,
+                 imu_calib=None, T_cb=None):
         self.config = config
         self.K = jnp.asarray(K, jnp.float32)
         self.dist = jnp.asarray(dist, jnp.float32)
+        # ---- visual-inertial state (Tracking.cc IMU members) ----
+        self.inertial = inertial
+        self.imu_calib = imu_calib
+        self.T_cb = (lie.se3_identity() if T_cb is None
+                     else jnp.asarray(T_cb, jnp.float32))  # camera-from-body
+        self.imu_initialized = False
+        self.vel_w = np.zeros(3, np.float32)    # body velocity (world)
+        self.bias_g = np.zeros(3, np.float32)
+        self.bias_a = np.zeros(3, np.float32)
+        self._imu_frame = []   # (acc,gyro,dts) chunks since last frame
+        self._imu_kf = []      # chunks since last keyframe
+        self.kf_chain = []     # keyframe slots in creation order
+        self.kf_preint = {}    # slot -> Preintegrated from previous chain KF
+        self.kf_vel = {}       # slot -> body velocity [3] np
+        self._last_good_ts = None
         self.map = map_state.create(config.kf_cap, config.pt_cap, config.frontend.capacity)
         self.meta = map_state.MapMeta.create(config.kf_cap, config.pt_cap, agent_id=0)
         self.state = NOT_INITIALIZED
@@ -200,6 +216,21 @@ class MonocularTracker:
         self.kf_timestamps = {}  # kf slot -> frame timestamp
         self._cur_ts = None
         self._init_ts = None
+        self.meta_dirty = False  # new points exist whose uuids are unassigned
+
+    def flush_meta(self):
+        """Assign uuids to points the (asynchronously dispatched) mapper
+        created since the last flush. Called lazily by every consumer of
+        `meta` so the mapping chain never blocks the tracking loop."""
+        if not self.meta_dirty:
+            return
+        npts = int(self.map.n_pt)  # syncs with the dispatched mapping chain
+        fresh = self.meta.pt_uuid[:npts].sum(axis=1) == 0
+        nf = int(fresh.sum())
+        if nf:
+            self.meta.pt_uuid[:npts][fresh] = self.meta.new_uuids(nf)
+            self.meta.pt_creator[:npts][fresh] = self.meta.agent_id
+        self.meta_dirty = False
 
     # -- public API ---------------------------------------------------------
 
@@ -210,6 +241,60 @@ class MonocularTracker:
                            self.config.frontend,
                            camera_model=self.config.camera_model)
         return self.process_frame(frame, timestamp)
+
+    # -- visual-inertial input (Tracking::GrabImuData equivalent) -----------
+
+    def grab_imu(self, acc, gyro, dts):
+        """Queue raw IMU samples (acc [M,3] m/s^2, gyro [M,3] rad/s, dts [M]
+        s) covering the span since the previous camera frame."""
+        acc = np.asarray(acc, np.float32).reshape(-1, 3)
+        if len(acc) == 0:
+            return
+        chunk = (acc, np.asarray(gyro, np.float32).reshape(-1, 3),
+                 np.asarray(dts, np.float32).reshape(-1))
+        self._imu_frame.append(chunk)
+        self._imu_kf.append(chunk)
+
+    def process_image_inertial(self, img, timestamp, acc, gyro, dts):
+        """`System::TrackMonocular` with IMU measurements (the inertial
+        grab path, `Tracking.cc:1459`)."""
+        self.grab_imu(acc, gyro, dts)
+        return self.process_image(img, timestamp)
+
+    def _cat_imu(self, chunks):
+        from ..geometry import imu as imu_mod
+        acc = np.concatenate([c[0] for c in chunks])
+        gyr = np.concatenate([c[1] for c in chunks])
+        dts = np.concatenate([c[2] for c in chunks])
+        return imu_mod.preintegrate(self.imu_calib, acc, gyr, dts,
+                                    bias_g=self.bias_g, bias_a=self.bias_a)
+
+    def _body_state(self, T_cw):
+        """T_cw -> (R_wb [3,3], p_w [3]) through the body-camera extrinsic."""
+        T_bw = lie.se3_mul(lie.se3_inv(self.T_cb), jnp.asarray(T_cw))
+        R_bw = lie.quat_to_matrix(lie.se3_q(T_bw))
+        R_wb = R_bw.T
+        p_w = -(R_wb @ lie.se3_t(T_bw))
+        return R_wb, p_w
+
+    def _imu_predict(self):
+        """`Tracking::PredictStateIMU` (`Tracking.cc:1564`): dead-reckon the
+        last camera pose through the preintegrated samples since that frame.
+        Returns (T_cw_pred [7], v_pred [3] np) or None when no samples."""
+        if not self._imu_frame:
+            return None
+        from ..geometry import imu as imu_mod
+        pre = self._cat_imu(self._imu_frame)
+        R_wb, p_w = self._body_state(self.last_pose)
+        R2, v2, p2 = imu_mod.predict_state(
+            pre, R_wb, jnp.asarray(self.vel_w), p_w,
+            bias_g=jnp.asarray(self.bias_g), bias_a=jnp.asarray(self.bias_a),
+            gravity=jnp.asarray(imu_mod.GRAVITY),
+        )
+        q_bw = lie.quat_from_matrix(R2.T)
+        T_bw = lie.se3(q_bw, -(R2.T @ p2))
+        T_pred = lie.se3_mul(self.T_cb, T_bw)
+        return T_pred, np.asarray(v2)
 
     def process_frame(self, frame: Frame, timestamp: float):
         self.n_frames += 1
@@ -229,6 +314,7 @@ class MonocularTracker:
             if int(frame.valid.sum()) > self.config.min_init_matches:
                 self.init_frame = frame
                 self._init_ts = self._cur_ts
+                self._imu_kf = []  # preintegration starts at the init frame
             return None
         f1, f2 = self.init_frame, frame
         idx, ok = matching.search_for_initialization(
@@ -240,6 +326,7 @@ class MonocularTracker:
             # reference resets the initializer when matches are too few
             self.init_frame = frame
             self._init_ts = self._cur_ts
+            self._imu_kf = []
             return None
 
         xn1 = cameras.pinhole_unproject(self.K, f1.xy)
@@ -306,6 +393,15 @@ class MonocularTracker:
         self.last_pose = T2
         self.velocity = lie.se3_identity()
         self.last_kf_slot = 1
+        if self.inertial:
+            # preintegration between the two bootstrap keyframes
+            self.kf_chain = [0, 1]
+            self.kf_vel = {0: np.zeros(3, np.float32), 1: np.zeros(3, np.float32)}
+            if self._imu_kf:
+                self.kf_preint = {1: self._cat_imu(self._imu_kf)}
+            self._imu_kf = []
+            self._imu_frame = []
+            self._last_good_ts = self._cur_ts
         self.kf_timestamps[0] = self._init_ts
         self.kf_timestamps[1] = self._cur_ts
         self.ref_kf_tracked = int(gmask.sum())
@@ -316,11 +412,32 @@ class MonocularTracker:
     # -- steady-state tracking ----------------------------------------------
 
     def _track(self, frame: Frame, timestamp: float):
-        T_pred = lie.se3_mul(self.velocity, self.last_pose)
+        v_pred = None
+        T_pred = None
+        if self.inertial and self.imu_initialized:
+            out = self._imu_predict()
+            if out is not None:
+                T_pred, v_pred = out
+        if T_pred is None:
+            T_pred = lie.se3_mul(self.velocity, self.last_pose)
         res = track_frame(self.map, frame, T_pred, self.K, self.config)
         n_inl = int(res.n_inliers)
 
         if n_inl < self.config.min_track_inliers:
+            # RECENTLY_LOST with IMU: trust dead reckoning for up to 5 s
+            # before declaring LOST (`Tracking.cc:1784-1812` mState ==
+            # RECENTLY_LOST + PredictStateIMU) — this is what survives
+            # textureless spans
+            if (self.inertial and self.imu_initialized
+                    and v_pred is not None
+                    and self._last_good_ts is not None
+                    and timestamp - self._last_good_ts < 5.0):
+                self.state = RECENTLY_LOST
+                self.last_pose = T_pred
+                self.vel_w = v_pred
+                self._imu_frame = []
+                self.frames_since_kf += 1
+                return T_pred
             # `Tracking::Relocalization` path (Tracking.cc:1784-1812,3276)
             if self.relocalizer is not None:
                 ok, T, n = self.relocalizer(self.map, frame)
@@ -328,6 +445,8 @@ class MonocularTracker:
                     self.state = OK
                     self.velocity = lie.se3_identity()
                     self.last_pose = T
+                    self._imu_frame = []
+                    self._last_good_ts = timestamp
                     self.frames_since_kf += 1
                     return T
             self.state = RECENTLY_LOST if self.state == OK else LOST
@@ -344,14 +463,30 @@ class MonocularTracker:
 
         self._lost_frames = 0
         self.state = OK
+        self._last_good_ts = timestamp
         self.map = update_visibility(self.map, res.visible, res.found)
         self.velocity = lie.se3_mul(res.T_cw, lie.se3_inv(self.last_pose))
+        if self.inertial and v_pred is not None:
+            self.vel_w = v_pred  # IMU-propagated velocity at the new pose
         self.last_pose = res.T_cw
+        self._imu_frame = []
         self.frames_since_kf += 1
 
         if self._need_new_keyframe(n_inl):
             self._create_keyframe(frame, res)
         return res.T_cw
+
+    def apply_world_sim3(self, S):
+        """Re-base the tracker's continuation state by a world-level Sim3
+        (gravity/scale alignment at IMU init, frame changes after merges):
+        current pose composes like keyframe poses; the motion model resets."""
+        Sj = jnp.asarray(S)
+        Sc = lie.sim3_mul(lie.sim3_from_se3(self.last_pose), lie.sim3_inv(Sj))
+        self.last_pose = lie.se3(
+            lie.sim3_q(Sc), lie.sim3_t(Sc) / jnp.maximum(lie.sim3_s(Sc), 1e-12)
+        )
+        self.velocity = lie.se3_identity()
+        self.rebase_history(Sj)
 
     def rebase_history(self, S):
         """Re-base the recorded trajectory by a world-level Sim3 (applied when
@@ -373,6 +508,7 @@ class MonocularTracker:
     def _new_map_in_atlas(self):
         """Stash the active map and restart on a fresh submap
         (`Tracking::CreateMapInAtlas`, `Tracking.cc:2409`)."""
+        self.flush_meta()
         self.atlas.stash_active(self.map, self.meta, self.kf_timestamps)
         cfg = self.config
         self.map = map_state.create(cfg.kf_cap, cfg.pt_cap, cfg.frontend.capacity)
@@ -387,6 +523,12 @@ class MonocularTracker:
         self.ref_kf_tracked = 0
         self.last_kf_slot = -1
         self._lost_frames = 0
+        self.imu_initialized = False
+        self.kf_chain = []
+        self.kf_preint = {}
+        self.kf_vel = {}
+        self._imu_kf = []
+        self._imu_frame = []
         if self.local_mapper is not None:
             self.local_mapper._kf_count = 0
         if self.relocalizer is not None and hasattr(self.relocalizer, "reset"):
@@ -414,12 +556,19 @@ class MonocularTracker:
         self.kf_timestamps[s] = self._cur_ts
         self.frames_since_kf = 0
         self.ref_kf_tracked = int(res.n_inliers)
+        if self.inertial:
+            if self.kf_chain and self._imu_kf:
+                self.kf_preint[s] = self._cat_imu(self._imu_kf)
+            self.kf_chain.append(s)
+            self.kf_vel[s] = np.asarray(self.vel_w, np.float32)
+            self._imu_kf = []
         if self.local_mapper is not None:
             self.local_mapper.on_new_keyframe(self, s)
         # atlas merge-back: weld the fresh submap into a stored one when
         # place recognition + Sim3 verification succeed (LoopClosing's
         # active-to-stored map merge)
         if self.atlas is not None and self.atlas.inactive:
+            self.flush_meta()
             out = self.atlas.try_merge_back(self.map, self.meta, self.last_kf_slot)
             if out is not None:
                 merged, meta, kf_map, S_ab, stored_ts = out

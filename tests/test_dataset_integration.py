@@ -1,0 +1,76 @@
+"""Real-sequence integration path (the reference's rosbag replay flow,
+`central_management_interface/main.py:270-317`):
+
+* a committed mini EuRoC-layout fixture (16 frames of 240x180 imagery —
+  real-photograph texture rendered under true perspective, see
+  tests/fixtures/mini_euroc/) always runs through `console run-dataset`
+  end-to-end: dataset loader -> vocabulary training -> SlamAgent tracking ->
+  trajectory recording -> Sim3-aligned ATE evaluation;
+* a full EuRoC sequence runs when the environment provides one
+  (EUROC_ROOT=/path/to/MH_01 etc.), and skips cleanly otherwise.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "mini_euroc")
+
+
+class TestMiniEurocFixture:
+    def test_run_dataset_end_to_end(self, tmp_path):
+        from dvm_slam_tpu.tools import console
+
+        out = str(tmp_path / "run")
+        rep = console.run_dataset(
+            FIXTURE, fmt="euroc",
+            settings_path=os.path.join(FIXTURE, "settings.yaml"),
+            n_agents=1, out_dir=out,
+            gt_path=os.path.join(FIXTURE, "gt_tum.txt"),
+        )
+        assert "agents" in rep and rep["agents"], rep
+        a = next(iter(rep["agents"].values()))
+        assert a["frames"] >= 8, rep
+        # the fixture camera moves ~2 m; Sim3-aligned ATE must be cm-class
+        assert a["ate_rmse_m"] < 0.10, rep
+        # artifacts of the recording flow exist (rosbag-record equivalent)
+        assert os.path.exists(os.path.join(out, "robot1_trajectory.txt"))
+        assert os.path.exists(os.path.join(out, "bandwidth.json"))
+        assert os.path.exists(os.path.join(out, "evaluation.json"))
+
+    def test_loader_parses_fixture(self):
+        from dvm_slam_tpu.io import datasets
+
+        seq = datasets.load_euroc(FIXTURE)
+        assert len(seq) == 16
+        ts, img = seq[0]
+        assert img.shape == (180, 240)
+        assert img.dtype == np.float32
+        # real-image statistics: the frame must have usable gradients
+        assert img.std() > 10.0
+
+
+@pytest.mark.skipif(
+    not os.environ.get("EUROC_ROOT"),
+    reason="set EUROC_ROOT=/path/to/EuRoC/MH_01 to run the full-sequence test",
+)
+class TestFullEuroc:
+    def test_full_sequence_tracks(self, tmp_path):
+        from dvm_slam_tpu.tools import console
+
+        root = os.environ["EUROC_ROOT"]
+        gt = os.environ.get("EUROC_GT")  # optional TUM-format ground truth
+        rep = console.run_dataset(
+            root, fmt="euroc", n_agents=1, out_dir=str(tmp_path / "run"),
+            max_frames=int(os.environ.get("EUROC_MAX_FRAMES", "500")),
+            gt_path=gt,
+        )
+        if gt:
+            a = next(iter(rep["agents"].values()))
+            assert a["ate_rmse_m"] < 0.5
+        else:
+            assert rep.get("run_dir")

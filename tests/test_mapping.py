@@ -152,3 +152,99 @@ class TestEndToEndWithMapping:
         assert int(jnp.sum(t.map.pt_valid)) > 200
         rmse, _, _ = metrics.ate_rmse(np.stack(est), np.stack(gt))
         assert rmse < 0.06, f"ATE RMSE {rmse:.3f} m"
+
+
+class TestBundleAdjustPCG:
+    """Matrix-free Schur-PCG global BA (`ba.bundle_adjust_pcg`) — the
+    scalable path behind `local_mapping.global_ba` full-map coverage."""
+
+    def test_matches_dense_solver(self, rng):
+        poses, X, uv, obs_pt, sigma2 = make_ba_problem(rng, noise_px=0.0)
+        n_cams, n_pts = obs_pt.shape
+        pert = jnp.asarray(
+            np.concatenate(
+                [np.zeros((2, 6), np.float32),
+                 rng.randn(n_cams - 2, 6).astype(np.float32) * 0.02]
+            )
+        )
+        poses0 = jax.vmap(lie.se3_retract)(poses, pert)
+        X0 = X + jnp.asarray(rng.randn(n_pts, 3).astype(np.float32) * 0.05)
+        fixed = jnp.asarray([True, True] + [False] * (n_cams - 2))
+        newp, newx, chi2, inl = ba.bundle_adjust_pcg(
+            poses0, fixed, uv, sigma2, obs_pt, X0, jnp.ones(n_pts, bool), K4,
+            lm_iters=15, pcg_iters=40,
+        )
+        assert float(chi2) < 1e-2
+        np.testing.assert_allclose(
+            np.asarray(lie.se3_t(newp)), np.asarray(lie.se3_t(poses)), atol=2e-3
+        )
+        np.testing.assert_allclose(np.asarray(newx), np.asarray(X), atol=5e-3)
+        assert bool(inl.all())
+
+    def test_fixed_cameras_unchanged(self, rng):
+        poses, X, uv, obs_pt, sigma2 = make_ba_problem(rng)
+        n_cams, n_pts = obs_pt.shape
+        fixed = jnp.asarray([True] * n_cams)
+        newp, _, _, _ = ba.bundle_adjust_pcg(
+            poses, fixed, uv, sigma2, obs_pt, X, jnp.ones(n_pts, bool), K4,
+            lm_iters=3,
+        )
+        np.testing.assert_allclose(newp, poses, atol=1e-6)
+
+    def test_outlier_classification(self, rng):
+        poses, X, uv, obs_pt, sigma2 = make_ba_problem(rng, noise_px=0.3)
+        uvn = np.array(uv)
+        uvn[2, :20] += 80.0
+        n_cams, n_pts = obs_pt.shape
+        fixed = jnp.asarray([True, True] + [False] * (n_cams - 2))
+        newp, _, _, inl = ba.bundle_adjust_pcg(
+            poses, fixed, jnp.asarray(uvn), sigma2, obs_pt, X,
+            jnp.ones(n_pts, bool), K4, lm_iters=10,
+        )
+        inl = np.asarray(inl)
+        assert inl[2, :20].sum() == 0
+        assert inl[2, 20:].sum() > 260
+
+    def test_scales_past_dense_window(self, rng):
+        """A 40-camera / 1500-point problem — larger than the old dense
+        global-BA window — converges and moves every free camera."""
+        from dvm_slam_tpu.geometry import cameras as cams_mod
+
+        n_cams, n_pts = 40, 1500
+        X = rng.randn(n_pts, 3).astype(np.float32)
+        X[:, 2] = X[:, 2] * 2 + 10.0
+        pl = []
+        for i in range(n_cams):  # compact ring: every camera sees the cloud
+            t = np.array([np.sin(i * 0.15) * 1.5, 0.02 * i, -np.cos(i * 0.15)],
+                         np.float32)
+            phi = np.array([0.0, 0.05 * np.sin(i * 0.3), 0.0], np.float32)
+            T_wc = lie.se3(lie.so3_exp(jnp.asarray(phi)), jnp.asarray(t))
+            pl.append(np.asarray(lie.se3_inv(T_wc)))
+        poses = jnp.asarray(np.stack(pl))
+        uv = []
+        for i in range(n_cams):
+            pc = lie.se3_apply(poses[i][None], jnp.asarray(X))
+            u, _ = cams_mod.pinhole_project(K4, pc)
+            uv.append(np.asarray(u))
+        uv = jnp.asarray(np.stack(uv))
+        obs_pt = jnp.broadcast_to(jnp.arange(n_pts, dtype=jnp.int32)[None],
+                                  (n_cams, n_pts))
+        sigma2 = jnp.ones((n_cams, n_pts))
+        X = jnp.asarray(X)
+        pert = jnp.asarray(
+            np.concatenate(
+                [np.zeros((2, 6), np.float32),
+                 rng.randn(n_cams - 2, 6).astype(np.float32) * 0.01]
+            )
+        )
+        poses0 = jax.vmap(lie.se3_retract)(poses, pert)
+        fixed = jnp.asarray([True, True] + [False] * (n_cams - 2))
+        newp, newx, chi2, _ = ba.bundle_adjust_pcg(
+            poses0, fixed, uv, sigma2, obs_pt, X, jnp.ones(n_pts, bool), K4,
+            lm_iters=12, pcg_iters=50,
+        )
+        np.testing.assert_allclose(
+            np.asarray(lie.se3_t(newp)), np.asarray(lie.se3_t(poses)), atol=3e-3
+        )
+        moved = np.abs(np.asarray(newp) - np.asarray(poses0)).sum(-1) > 1e-7
+        assert moved[2:].all()  # every free camera was optimized

@@ -1,35 +1,221 @@
-"""Mesh-parallel multi-agent step on the 8-device virtual CPU mesh (the
-dryrun_multichip path, kept in-suite)."""
+"""Mesh-parallel multi-agent execution: SPMD step and the protocol-on-mesh
+(collective keyframe exchange, 0.9x-baseline merge detection, transitive
+closure). Runs on the virtual 8-device CPU mesh from conftest.
+
+Reference semantics: `orb_slam3_wrapper.cpp:131-148` (protocol loop),
+`KeyFrameDatabase.cc:789` (DetectMergePossibility), `:684-707` (implicit
+transitive merges), `:212-384` (keyframe sharing).
+"""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
+from dvm_slam_tpu.frontend.extractor import FrontendConfig
+from dvm_slam_tpu.geometry import lie
+from dvm_slam_tpu.mapping import map_state
+from dvm_slam_tpu.parallel import multi_agent
+from dvm_slam_tpu.placerec import vocabulary
+from dvm_slam_tpu.tracking import tracker as trk
 
-@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 devices")
-class TestMeshParallel:
-    def test_sharded_step_runs_and_scores(self):
-        import __graft_entry__ as g
-        from dvm_slam_tpu.parallel import multi_agent
-        from dvm_slam_tpu.placerec import vocabulary
 
-        n = 4
+def _voc(rng):
+    return vocabulary.train((rng.rand(800, 256) > 0.5).astype(np.uint8),
+                            branch=6, depth=3, seed=0)
+
+
+def _agent_map(rng, pts_w, descs, kf_cap=16, pt_cap=256, F=64,
+               pose_offsets=((0.0, 0.0), (0.3, 0.1))):
+    """A small map with two own keyframes observing `pts_w` (world frame)."""
+    P = pts_w.shape[0]
+    m = map_state.create(kf_cap, pt_cap, F)
+    n = min(P, F, pt_cap)
+    m, slots = map_state.add_points(
+        m, pos=jnp.asarray(pts_w[:n]),
+        desc=jnp.asarray(descs[:n]),
+        normal=jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (n, 1)),
+        min_dist=jnp.zeros((n,)), max_dist=jnp.full((n,), 100.0),
+        ref_kf=jnp.int32(0), valid=jnp.ones((n,), bool),
+    )
+    K = np.asarray([100.0, 100.0, 64.0, 48.0], np.float32)
+    for dx, dy in pose_offsets:
+        q = np.asarray([1, 0, 0, 0], np.float32)
+        T_cw = jnp.asarray(np.concatenate([q, [dx, dy, 0.0]]), jnp.float32)
+        pc = np.asarray(jax.vmap(lambda X: lie.se3_apply(T_cw, X))(
+            jnp.asarray(pts_w[:n])))
+        uv = np.zeros((F, 2), np.float32)
+        uv[:n, 0] = K[0] * pc[:, 0] / pc[:, 2] + K[2]
+        uv[:n, 1] = K[1] * pc[:, 1] / pc[:, 2] + K[3]
+        obs = np.full((F,), -1, np.int32)
+        obs[:n] = np.asarray(slots)[:n]
+        fv = np.zeros((F,), bool)
+        fv[:n] = True
+        desc_f = np.zeros((F, 256), np.uint8)
+        desc_f[:n] = descs[:n]
+        m, _ = map_state.add_keyframe(
+            m, T_cw, jnp.asarray(uv), jnp.zeros((F,), jnp.int32),
+            jnp.zeros((F,)), jnp.asarray(desc_f), jnp.asarray(fv),
+            jnp.asarray(obs),
+        )
+    return m, K
+
+
+@pytest.fixture(scope="module")
+def mesh4():
+    devs = jax.devices()[:4]
+    return multi_agent.make_mesh(4, devs)
+
+
+class TestProtocolOnMesh:
+    def test_merge_detect_share_converge(self, mesh4):
+        """3 overlapping agents merge (0.9x-baseline BoW rule on-mesh) and
+        exchange keyframes via collectives; a 4th agent viewing a different
+        scene stays unmerged and its map untouched."""
+        rng = np.random.RandomState(0)
+        A = 4
+        fc = FrontendConfig(height=96, width=128, n_features=64, n_levels=2)
+        cfg = trk.TrackerConfig(frontend=fc, kf_cap=16, pt_cap=256, fps=10.0)
+        voc = _voc(rng)
+
+        # shared world for agents 0..2 (same points, same descriptors)
+        pts_shared = (rng.randn(60, 3) * 1.5 + [0, 0, 8]).astype(np.float32)
+        desc_shared = (rng.rand(60, 256) > 0.5).astype(np.uint8)
+        # disjoint world for agent 3
+        pts_other = (rng.randn(60, 3) * 1.5 + [40, 0, 8]).astype(np.float32)
+        desc_other = (rng.rand(60, 256) > 0.5).astype(np.uint8)
+
+        maps, Ks = [], []
+        offsets = [((0.0, 0.0), (0.25, 0.05)), ((0.1, -0.1), (0.35, 0.0)),
+                   ((-0.1, 0.1), (0.2, 0.2)), ((0.0, 0.0), (0.3, 0.1))]
+        for a in range(A):
+            pw = pts_shared if a < 3 else pts_other
+            dc = desc_shared if a < 3 else desc_other
+            m, K = _agent_map(rng, pw, dc, kf_cap=16, pt_cap=256,
+                              F=fc.capacity, pose_offsets=offsets[a])
+            maps.append(m)
+            Ks.append(K)
+
+        step = multi_agent.build_protocol_step(mesh4, cfg, voc)
+        stacked = multi_agent.stack_agents(maps)
+        # pre-register keyframe 0 of each agent (the step registers the
+        # newest KF each round; earlier ones entered in earlier rounds)
+        lv, idf = voc.device_arrays()
+        sts = []
+        for a in range(A):
+            st = multi_agent.create_protocol_state(16, voc.n_words, A)
+            from dvm_slam_tpu.placerec import database as dbm
+            bow0 = vocabulary.bow_vector(
+                lv, idf, maps[a].kf_desc[0], maps[a].kf_feat_valid[0],
+                voc.branch, voc.n_words)
+            st = st._replace(db_bow=st.db_bow.at[0].set(bow0),
+                             db_valid=st.db_valid.at[0].set(True))
+            sts.append(st)
+        states = multi_agent.stack_agents(sts)
+        Kb = jnp.asarray(np.stack(Ks))
+        own_slot = jnp.ones((A,), jnp.int32)   # each agent's 2nd KF is own
+        own_seq = jnp.zeros((A,), jnp.int32)
+
+        n_kf_before = np.asarray(stacked.n_kf).copy()
+        maps_out, states_out, M = step(stacked, states, Kb, own_slot, own_seq)
+        M = np.asarray(M)
+
+        # merge matrix: 0-2 mutually merged, 3 isolated
+        for i in range(3):
+            for j in range(3):
+                assert M[i, j], f"agents {i},{j} failed to merge"
+        for i in range(3):
+            assert not M[i, 3] and not M[3, i], "disjoint agent merged"
+
+        n_kf_after = np.asarray(maps_out.n_kf)
+        # each of 0..2 spliced keyframes from its 2 merged peers
+        for a in range(3):
+            assert n_kf_after[a] == n_kf_before[a] + 2, (
+                f"agent {a}: {n_kf_before[a]} -> {n_kf_after[a]}")
+        # agent 3 untouched
+        assert n_kf_after[3] == n_kf_before[3]
+
+        # spliced geometry agrees: agent 0 received agent 1's newest KF pose
+        pose_recv = np.asarray(maps_out.kf_pose[0, int(n_kf_before[0])])
+        pose_src = np.asarray(maps[1].kf_pose[1])
+        np.testing.assert_allclose(pose_recv, pose_src, atol=1e-5)
+
+        # second round with fresh own keyframes: dedup lets new ones through
+        own_seq2 = own_seq + 1
+        maps3, states3, M2 = step(maps_out, states_out, Kb, own_slot, own_seq2)
+        n_kf_3 = np.asarray(maps3.n_kf)
+        for a in range(3):
+            assert n_kf_3[a] == n_kf_after[a] + 2  # two fresh peer KFs again
+
+        # third round with STALE sequence ids: nothing new is spliced
+        maps4, _, _ = step(maps3, states3, Kb, own_slot, own_seq2)
+        assert np.array_equal(np.asarray(maps4.n_kf), n_kf_3)
+
+    def test_spliced_points_match_source_geometry(self, mesh4):
+        """Points arriving with a spliced keyframe land at the sender's world
+        positions (agents share one world frame here)."""
         rng = np.random.RandomState(1)
-        cfg, m, img, T, K = g._small_setup()
-        voc = vocabulary.train((rng.rand(400, 256) > 0.5).astype(np.uint8),
+        A = 4
+        fc = FrontendConfig(height=96, width=128, n_features=64, n_levels=2)
+        cfg = trk.TrackerConfig(frontend=fc, kf_cap=16, pt_cap=256, fps=10.0)
+        voc = _voc(rng)
+        pts = (rng.randn(50, 3) * 1.5 + [0, 0, 8]).astype(np.float32)
+        descs = (rng.rand(50, 256) > 0.5).astype(np.uint8)
+        maps, Ks = [], []
+        for a in range(A):
+            m, K = _agent_map(rng, pts, descs, F=fc.capacity)
+            maps.append(m)
+            Ks.append(K)
+        step = multi_agent.build_protocol_step(mesh4, cfg, voc,
+                                               fuse_after=False)
+        stacked = multi_agent.stack_agents(maps)
+        lv, idf = voc.device_arrays()
+        sts = []
+        for a in range(A):
+            st = multi_agent.create_protocol_state(16, voc.n_words, A)
+            bow0 = vocabulary.bow_vector(
+                lv, idf, maps[a].kf_desc[0], maps[a].kf_feat_valid[0],
+                voc.branch, voc.n_words)
+            st = st._replace(db_bow=st.db_bow.at[0].set(bow0),
+                             db_valid=st.db_valid.at[0].set(True))
+            sts.append(st)
+        states = multi_agent.stack_agents(sts)
+        maps_out, _, M = step(stacked, states, jnp.asarray(np.stack(Ks)),
+                              jnp.ones((A,), jnp.int32),
+                              jnp.zeros((A,), jnp.int32))
+        assert bool(np.asarray(M).all())
+        # received points (slots beyond the original n_pt) lie on the shared
+        # cloud: nearest-neighbor distance to the source positions ~ 0
+        m0 = jax.tree.map(lambda x: np.asarray(x[0]), maps_out)
+        n0 = 50
+        new_valid = m0.pt_valid.copy()
+        new_valid[:n0] = False
+        new_pts = m0.pt_pos[new_valid]
+        assert len(new_pts) > 0
+        d = np.linalg.norm(new_pts[:, None, :] - pts[None, :, :], axis=-1)
+        assert d.min(axis=1).max() < 1e-4
+
+
+class TestSpmdStep:
+    def test_spmd_agent_step_shapes(self, mesh4):
+        """The per-slice SPMD compute step (front end + tracking + BA +
+        BoW all_gather) runs over the mesh — the dryrun contract."""
+        import __graft_entry__ as ge
+
+        rng = np.random.RandomState(1)
+        cfg, m, img, T, K = ge._small_setup()
+        voc = vocabulary.train((rng.rand(600, 256) > 0.5).astype(np.uint8),
                                branch=4, depth=2, seed=0)
-        mesh = multi_agent.make_mesh(n, jax.devices()[:n])
-        step = multi_agent.build_multi_agent_step(mesh, cfg, voc)
-        maps = multi_agent.stack_agents([m] * n)
-        imgs = jnp.stack([img + 3 * i for i in range(n)])
-        poses = jnp.stack([T] * n)
-        Ks = jnp.stack([K] * n)
+        step = multi_agent.build_multi_agent_step(mesh4, cfg, voc)
+        A = 4
+        maps = multi_agent.stack_agents([m] * A)
+        imgs = jnp.stack([img + i for i in range(A)])
+        poses = jnp.stack([T] * A)
+        Ks = jnp.stack([K] * A)
         T_new, inl, scores, maps_out = step(maps, imgs, poses, Ks)
-        assert T_new.shape == (n, 7)
-        assert bool(jnp.all(jnp.isfinite(T_new)))
-        # BoW self-similarity is maximal on the diagonal
+        assert T_new.shape == (A, 7)
+        assert scores.shape == (A, A)
+        # off-diagonal scores are real similarities in [0,1], not garbage
         s = np.asarray(scores)
-        assert s.shape == (n, n)
-        np.testing.assert_allclose(np.diag(s), 1.0, atol=1e-5)
-        assert maps_out.kf_pose.shape[0] == n
+        assert np.all(s >= -1e-3) and np.all(s <= 1 + 1e-3)
+        np.testing.assert_allclose(np.diag(s), 1.0, atol=1e-3)

@@ -129,3 +129,99 @@ class TestDatabase:
         exclude = jnp.zeros(db.valid.shape, bool).at[3].set(True)
         idx, ok = database.detect_candidates(db, q, exclude, covis, n=3)
         assert 3 not in np.asarray(idx)[np.asarray(ok)]
+
+
+class TestPrecisionRecallUnderAliasing:
+    """Loop/merge detection quality with perceptually-aliased distractors:
+    many places sampled from ONE textured world (shared texture statistics),
+    queried with revisit frames from perturbed viewpoints. Quantifies what
+    the shipped vocabulary buys (the reference leans on a 10^6-word ORBvoc;
+    `KeyFrameDatabase.cc:555-640`)."""
+
+    def _render_place(self, world, K, center_x, center_z, dx=0.0, dyaw=0.0):
+        import jax.numpy as jnp
+        from dvm_slam_tpu.geometry import lie
+        import jax
+
+        q = np.asarray(lie.so3_exp(jnp.asarray([0.0, dyaw, 0.0], jnp.float32)))
+        c = np.array([center_x + dx, 0.0, center_z], np.float32)
+        T_wc = np.concatenate([q, c]).astype(np.float32)
+        T_cw = lie.se3_inv(jnp.asarray(T_wc))
+        return world.render(T_cw, K, 180, 240)
+
+    def test_top1_precision_on_revisits(self):
+        import jax.numpy as jnp
+        from dvm_slam_tpu.frontend.extractor import FrontendConfig, make_frame
+        from dvm_slam_tpu.io import synthetic
+        from dvm_slam_tpu.placerec import database, vocabulary
+
+        voc = vocabulary.load_default()
+        assert voc.n_words >= 1000
+        lv, idf = voc.device_arrays()
+        fc = FrontendConfig(height=180, width=240, n_features=400, n_levels=4)
+        K = jnp.asarray([200.0, 200.0, 120.0, 90.0])
+        world = synthetic.PlaneWorld(seed=11, tex_size=2048, plane_z=6.0,
+                                     extent=60.0)
+
+        # 12 places on a grid inside one world (aliased texture statistics)
+        places = [(-20 + 8 * (i % 6), -4.0 + 8.0 * (i // 6)) for i in range(12)]
+        n = len(places)
+        db = database.create(n, voc.n_words)
+
+        def bow_of(img):
+            f = make_frame(img, K, jnp.zeros(4), fc)
+            return vocabulary.bow_vector(lv, idf, f.desc, f.valid,
+                                         voc.branch, voc.n_words)
+
+        for i, (x, z) in enumerate(places):
+            img = self._render_place(world, K, x, z)
+            db = database.add(db, jnp.int32(i), bow_of(img))
+
+        covis = jnp.zeros((n, n), jnp.int32)
+        exclude = jnp.zeros((n,), bool)
+        hits = 0
+        for i, (x, z) in enumerate(places):
+            img = self._render_place(world, K, x, z, dx=0.35, dyaw=0.04)
+            q = bow_of(img)
+            idx, ok = database.detect_candidates(db, q, exclude, covis, n=1)
+            if bool(ok[0]) and int(idx[0]) == i:
+                hits += 1
+        precision = hits / n
+        assert precision >= 0.9, f"top-1 revisit precision {precision}"
+
+    def test_merge_gate_rejects_unseen_place(self):
+        import jax.numpy as jnp
+        from dvm_slam_tpu.frontend.extractor import FrontendConfig, make_frame
+        from dvm_slam_tpu.io import synthetic
+        from dvm_slam_tpu.mapping import map_state
+        from dvm_slam_tpu.placerec import database, vocabulary
+
+        voc = vocabulary.load_default()
+        lv, idf = voc.device_arrays()
+        fc = FrontendConfig(height=180, width=240, n_features=400, n_levels=4)
+        K = jnp.asarray([200.0, 200.0, 120.0, 90.0])
+        world = synthetic.PlaneWorld(seed=11, tex_size=2048, plane_z=6.0,
+                                     extent=60.0)
+        other = synthetic.PlaneWorld(seed=77, tex_size=2048, plane_z=6.0,
+                                     extent=60.0)
+
+        def bow_of(w, x, z, dx=0.0):
+            img = self._render_place(w, K, x, z, dx=dx)
+            f = make_frame(img, K, jnp.zeros(4), fc)
+            return vocabulary.bow_vector(lv, idf, f.desc, f.valid,
+                                         voc.branch, voc.n_words)
+
+        n = 8
+        db = database.create(n, voc.n_words)
+        for i in range(n):
+            db = database.add(db, jnp.int32(i), bow_of(world, -16 + 5 * i, 0.0))
+        covis = jnp.zeros((n, n), jnp.int32)
+
+        # a true revisit passes the 0.9x-baseline gate
+        ok_true, *_ = database.detect_merge_possibility(
+            db, bow_of(world, -16, 0.0, dx=0.3), covis)
+        # a frame from a DIFFERENT world does not
+        ok_false, *_ = database.detect_merge_possibility(
+            db, bow_of(other, 0.0, 0.0), covis)
+        assert bool(ok_true)
+        assert not bool(ok_false)

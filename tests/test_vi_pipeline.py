@@ -1,0 +1,216 @@
+"""Visual-inertial pipeline: preintegration-based VI-BA, IMU initialization
+(gravity / scale / gyro bias), and the end-to-end imu-monocular mode
+(IMU pose prediction + surviving a textureless span).
+
+Reference scope: `Tracking.cc:1459,1564` (IMU prediction),
+`LocalMapping.cc:199-256,1174,1413` (IMU init + scale refinement),
+`Optimizer.cc:2214,358` (Local/Full inertial BA), `LoopClosing.cc:151`
+(inertial merge scale gate).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dvm_slam_tpu.geometry import imu, lie
+from dvm_slam_tpu.mapping import vi_ba
+from dvm_slam_tpu.io import synthetic
+
+pytestmark = pytest.mark.slow
+
+G = np.array([0.0, 0.0, -9.81], np.float32)
+
+
+def _circular_rig(L=8, dt_kf=0.5, imu_rate=200.0):
+    """Analytic trajectory + exact IMU preintegrations between keyframes."""
+    ts = np.arange(L) * dt_kf
+
+    def pose_at(t):
+        p = np.array([np.sin(t * 0.5) * 2, np.cos(t * 0.5) * 2 - 2, 0.1 * t],
+                     np.float32)
+        Rwb = np.asarray(lie.quat_to_matrix(
+            lie.so3_exp(jnp.asarray([0.0, 0.02 * t, 0.1 * t], jnp.float32))))
+        return Rwb, p
+
+    def vel_at(t, eps=1e-4):
+        _, p0 = pose_at(t - eps)
+        _, p1 = pose_at(t + eps)
+        return (p1 - p0) / (2 * eps)
+
+    dti = 1.0 / imu_rate
+    calib = imu.ImuCalib.create(freq=imu_rate)
+    pres_list = []
+    for k in range(L - 1):
+        tt = np.arange(ts[k], ts[k + 1] - 1e-9, dti)
+        accs, gyrs, dts_ = [], [], []
+        for t in tt:
+            R0, _ = pose_at(t)
+            R1, _ = pose_at(t + dti)
+            w = np.asarray(lie.so3_log(lie.quat_from_matrix(
+                jnp.asarray(R0.T @ R1, jnp.float32)))) / dti
+            a_w = (vel_at(t + dti) - vel_at(t)) / dti
+            accs.append((R0.T @ (a_w - G)).astype(np.float32))
+            gyrs.append(w.astype(np.float32))
+            dts_.append(dti)
+        pres_list.append(imu.preintegrate(
+            calib, np.stack(accs), np.stack(gyrs), np.asarray(dts_)))
+    pres = jax.tree.map(lambda *x: jnp.stack(x), *pres_list)
+
+    T_bw, vels = [], []
+    for t in ts:
+        Rwb, p = pose_at(t)
+        q = lie.quat_from_matrix(jnp.asarray(Rwb.T))
+        T_bw.append(lie.se3(q, jnp.asarray(-(Rwb.T @ p))))
+        vels.append(vel_at(t).astype(np.float32))
+    return jnp.stack(T_bw), jnp.asarray(np.stack(vels)), pres
+
+
+class TestViBundleAdjust:
+    def test_converges_on_synthetic_rig(self, rng):
+        L, F, P = 8, 128, 400
+        T_bw, vels, pres = _circular_rig(L)
+        X = (rng.randn(P, 3) * 3 + [0, 8, 0]).astype(np.float32)
+        K4 = jnp.asarray([300.0, 300.0, 160.0, 120.0])
+        uv = np.zeros((L, F, 2), np.float32)
+        obs = np.full((L, F), -1, np.int32)
+        for l in range(L):
+            pc = np.asarray(jax.vmap(lambda x: lie.se3_apply(T_bw[l], x))(
+                jnp.asarray(X)))
+            sel = np.nonzero(pc[:, 2] > 1.0)[0][:F]
+            obs[l, :len(sel)] = sel
+            uv[l, :len(sel), 0] = 300 * pc[sel, 0] / pc[sel, 2] + 160
+            uv[l, :len(sel), 1] = 300 * pc[sel, 1] / pc[sel, 2] + 120
+        pert = rng.randn(L, 6).astype(np.float32) * 0.01
+        pert[0] = 0
+        T0 = jax.vmap(lie.se3_retract)(T_bw, jnp.asarray(pert))
+        X0 = jnp.asarray(X + rng.randn(P, 3).astype(np.float32) * 0.05)
+        v0 = vels + jnp.asarray(rng.randn(L, 3).astype(np.float32) * 0.1)
+        win = vi_ba.ViWindow(T_bw=T0, v=v0, bg=jnp.zeros((L, 3)),
+                             ba=jnp.zeros((L, 3)))
+        fixed = jnp.zeros(L, bool).at[0].set(True)
+        w2, pts2, chi2 = vi_ba.vi_bundle_adjust(
+            win, fixed, jnp.asarray(uv), jnp.ones((L, F)), jnp.asarray(obs),
+            X0, jnp.ones(P, bool), K4, lie.se3_identity(), pres,
+            jnp.ones(L - 1, bool), iters=12,
+        )
+        terr = np.abs(np.asarray(lie.se3_t(w2.T_bw))
+                      - np.asarray(lie.se3_t(T_bw))).max()
+        verr = np.abs(np.asarray(w2.v) - np.asarray(vels)).max()
+        assert float(chi2) < 5.0
+        assert terr < 0.01
+        assert verr < 0.01
+        # recovered biases stay near the true zero
+        assert np.abs(np.asarray(w2.bg)).max() < 0.01
+        assert np.abs(np.asarray(w2.ba)).max() < 0.05
+
+    def test_fixed_pose_velocity_still_estimated(self, rng):
+        """A gauge-fixed keyframe keeps its pose but its velocity/bias move
+        (the reference always estimates vel/bias vertices)."""
+        L, F, P = 4, 4, 4
+        T_bw, vels, pres = _circular_rig(L)
+        obs = np.full((L, F), -1, np.int32)
+        win = vi_ba.ViWindow(
+            T_bw=T_bw, v=vels + 0.5, bg=jnp.zeros((L, 3)), ba=jnp.zeros((L, 3))
+        )
+        fixed = jnp.ones(L, bool)  # every pose pinned
+        w2, _, _ = vi_ba.vi_bundle_adjust(
+            win, fixed, jnp.zeros((L, F, 2)), jnp.ones((L, F)),
+            jnp.asarray(obs), jnp.zeros((P, 3)), jnp.zeros(P, bool),
+            jnp.asarray([100.0, 100.0, 2.0, 2.0]), lie.se3_identity(),
+            pres, jnp.ones(L - 1, bool), iters=8,
+        )
+        np.testing.assert_allclose(np.asarray(w2.T_bw), np.asarray(T_bw),
+                                   atol=1e-6)
+        # velocities recovered despite the 0.5 m/s corruption
+        assert np.abs(np.asarray(w2.v) - np.asarray(vels)).max() < 0.05
+
+
+class TestImuInit:
+    def test_gyro_bias_gravity_scale(self):
+        T_bw, vels, pres = _circular_rig(L=8)
+        bg = vi_ba.estimate_gyro_bias(T_bw, pres)
+        assert np.abs(np.asarray(bg)).max() < 1e-4
+        s, g_w, v_est = vi_ba.estimate_gravity_scale(T_bw, None, pres)
+        assert abs(float(s) - 1.0) < 0.01
+        cosg = float(jnp.dot(g_w, jnp.asarray(G)) / (9.81 * 9.81))
+        assert cosg > 0.9999
+        assert np.abs(np.asarray(v_est) - np.asarray(vels)).max() < 0.02
+
+    def test_scale_recovered_from_scaled_visual_poses(self):
+        """Visual poses at 1/3 metric scale (monocular ambiguity) -> the
+        linear init recovers s = 3."""
+        T_bw, vels, pres = _circular_rig(L=8)
+        scale_vis = 1.0 / 3.0
+        T_scaled = np.asarray(T_bw).copy()
+        T_scaled[:, 4:7] *= scale_vis  # t_cw scales with the map
+        s, g_w, _ = vi_ba.estimate_gravity_scale(jnp.asarray(T_scaled), None, pres)
+        assert abs(float(s) - 3.0) < 0.05
+
+    def test_gravity_alignment_rotation(self):
+        g_est = jnp.asarray([2.0, 1.0, -9.3])
+        g_est = g_est / jnp.linalg.norm(g_est) * 9.81
+        R = lie.quat_to_matrix(vi_ba.gravity_alignment_rotation(g_est))
+        out = np.asarray(R @ g_est)
+        np.testing.assert_allclose(out, [0, 0, -9.81], atol=1e-4)
+
+
+class TestViEndToEnd:
+    def _build_system(self):
+        from dvm_slam_tpu.io import config as config_mod
+        from dvm_slam_tpu.models import system as system_mod
+
+        settings = config_mod.SystemSettings()
+        settings.camera = config_mod.CameraSettings(
+            fx=260.0, fy=260.0, cx=160.0, cy=120.0, width=320, height=240,
+            dist=(0.0, 0.0, 0.0, 0.0), fps=10.0,
+        )
+        settings.orb = config_mod.OrbSettings(n_features=600)
+        settings.kf_capacity = 64
+        settings.pt_capacity = 4096
+        settings.imu = config_mod.ImuSettings(frequency=100.0)
+        return system_mod.System(settings, sensor="imu-monocular",
+                                 agent_id=1), settings
+
+    def test_imu_monocular_end_to_end(self):
+        """IMU initializes (metric scale + canonical gravity), tracking
+        survives a textureless span on dead reckoning, and the final
+        trajectory is metric."""
+        sys, settings = self._build_system()
+        world = synthetic.PlaneWorld(seed=3, tex_size=1024, plane_z=6.0,
+                                     extent=30.0)
+        n = 46
+        poses, chunks, vels = synthetic.vi_trajectory(
+            n, fps=10.0, imu_rate=100.0, lateral=2.0, forward=0.5, z_amp=0.3,
+        )
+        K = jnp.asarray(settings.camera.K())
+        blank = np.zeros((240, 320), np.float32)
+        out_poses = {}
+        blank_span = range(34, 40)
+        for i in range(n):
+            acc, gyr, dts = chunks[i]
+            img = (blank if i in blank_span
+                   else np.asarray(world.render(jnp.asarray(poses[i]), K, 240, 320)))
+            p = sys.track_monocular_inertial(img, i * 0.1, acc, gyr, dts)
+            if p is not None:
+                out_poses[i] = np.asarray(p)
+        assert sys.is_imu_initialized(), "IMU never initialized"
+        # textureless span: dead reckoning kept producing poses
+        for i in blank_span:
+            assert i in out_poses, f"no pose during textureless frame {i}"
+        # recovered after the span
+        assert sys.get_tracking_state() == "OK"
+        # metric scale: compare camera-center displacement against ground
+        # truth over the post-init segment (visual-only would be off by the
+        # arbitrary monocular init scale; IMU init fixes it)
+        idx = sorted(i for i in out_poses if i >= 20 and i not in blank_span)
+        est, gt = [], []
+        for i in idx:
+            est.append(np.asarray(lie.se3_t(lie.se3_inv(jnp.asarray(out_poses[i])))))
+            gt.append(np.asarray(lie.se3_t(lie.se3_inv(jnp.asarray(poses[i])))))
+        est, gt = np.stack(est), np.stack(gt)
+        d_est = np.linalg.norm(np.diff(est, axis=0), axis=1).sum()
+        d_gt = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
+        assert d_gt > 0.05
+        ratio = d_est / d_gt
+        assert 0.8 < ratio < 1.25, f"trajectory not metric: ratio {ratio}"
