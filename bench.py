@@ -94,13 +94,13 @@ def main():
     # the (asynchronously dispatched) cull/triangulate/fuse/local-BA chain
     n_e2e = 60
     more = synthetic.smooth_trajectory(
-        len(imgs) + n_e2e, lateral=2.5, forward=0.8, yaw=0.1
+        len(imgs) + 2 * n_e2e, lateral=2.5, forward=0.8, yaw=0.1
     )[len(imgs):]
     e2e_imgs = [np.asarray(world.render(jnp.asarray(p), Kj, H, W)) for p in more]
     kf_before = int(t.map.n_kf)
     frame_ms = []
     t0 = time.perf_counter()
-    for i, img in enumerate(e2e_imgs):
+    for i, img in enumerate(e2e_imgs[:n_e2e]):
         f0 = time.perf_counter()
         t.process_image(img, (len(imgs) + i) * 0.05)
         frame_ms.append((time.perf_counter() - f0) * 1000.0)
@@ -109,6 +109,21 @@ def main():
     e2e_dt = (time.perf_counter() - t0) / n_e2e
     e2e_fps = 1.0 / e2e_dt
     kf_created = int(t.map.n_kf) - kf_before
+
+    # pipelined mode: decisions retire async_depth frames late, one
+    # overlapped readback per frame — device work streams without a host
+    # round trip on every frame (the tracking/mapping thread-overlap analog)
+    t.async_depth = 2
+    t.process_image(e2e_imgs[n_e2e], (len(imgs) + n_e2e) * 0.05)  # warm trace
+    t.flush_pipeline()
+    t0 = time.perf_counter()
+    for i, img in enumerate(e2e_imgs[n_e2e + 1:]):
+        t.process_image(img, (len(imgs) + n_e2e + 1 + i) * 0.05)
+    t.flush_pipeline()
+    t.flush_meta()
+    jax.block_until_ready(t.map.kf_pose)
+    e2e_pipe_fps = (n_e2e - 1) / (time.perf_counter() - t0)
+    t.async_depth = 0
 
     # ---- local BA timing (secondary, reported inside the same line) ----
     centers = [jnp.int32(max(int(m.n_kf) - 1 - i, 1)) for i in range(4)]
@@ -146,6 +161,7 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / 20.0, 3),
         "e2e_fps": round(e2e_fps, 2),
+        "e2e_pipelined_fps": round(e2e_pipe_fps, 2),
         "e2e_frame_ms_p50": round(float(np.percentile(frame_ms, 50)), 2),
         "e2e_frame_ms_p95": round(float(np.percentile(frame_ms, 95)), 2),
         "e2e_kf_created": kf_created,

@@ -38,6 +38,12 @@ from ..geometry import lie
 CHI2_MONO = 5.991
 HUBER_DELTA = math.sqrt(CHI2_MONO)
 
+# bundle_adjust_pcg picks its Schur strategy by the dense-coupling footprint:
+# below this, the [L,P,6,3] coupling matrix is materialized once per LM
+# iteration and every Schur product is an MXU matmul; above it, matrix-free
+# PCG with per-observation scatters (scalable, slower per iteration).
+_DENSE_W_MAX_BYTES = 384 * 1024 * 1024
+
 
 def inv3x3(A, eps: float = 1e-12):
     """Closed-form batched 3x3 inverse (adjugate / det).
@@ -376,47 +382,80 @@ def bundle_adjust_pcg(
         Hcc_d = Hcc + lam_c[:, None, None] * eye6
         Hcc_d = jnp.where(kf_fixed[:, None, None], eye6, Hcc_d)
 
-        def WT_x(xc):      # [L,6] -> [P,3]  (W^T x via obs scatter)
-            v = jnp.einsum("oij,oi->oj", Wo, xc[okf])
-            return jnp.zeros((P, 3), dtype).at[optc].add(v * ovalid0[:, None])
+        # TPU scatters are slow; with a dense per-iteration coupling matrix
+        # Wd [L,P,6,3] (ONE scatter per iteration), every Schur product is
+        # an MXU matmul. Memory L*P*72B — fine up to a few hundred KFs; past
+        # `_DENSE_W_MAX_BYTES` fall back to matrix-free PCG whose matvecs
+        # scatter per observation (scalable, slower per iteration).
+        use_dense = L * P * 72 <= _DENSE_W_MAX_BYTES
 
-        def W_u(u):        # [P,3] -> [L,6]
-            g = jnp.einsum("oij,oj->oi", Wo, u[optc]) * ovalid0[:, None]
-            return jnp.zeros((L, 6), dtype).at[okf].add(g)
+        if use_dense:
+            Wd = jnp.zeros((L, P, 6, 3), dtype).at[okf, optc].add(
+                Wo * ovalid0[:, None, None]
+            )
+            WHid = Wd @ Hpp_inv[None]                           # [L,P,6,3]
+            A = WHid.transpose(0, 2, 1, 3).reshape(L * 6, P * 3)
+            B = Wd.transpose(0, 2, 1, 3).reshape(L * 6, P * 3)
+            S_off = jax.lax.dot_general(
+                A, B, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(L, 6, L, 6)
+            ii = jnp.arange(L)
+            S = -S_off
+            S = S.at[ii, :, ii, :].add(Hcc_d)
+            fix2 = kf_fixed[:, None] | kf_fixed[None, :]
+            S = jnp.where(fix2[:, None, :, None], 0.0, S)
+            S = S.at[ii, :, ii, :].add(kf_fixed[:, None, None] * eye6)
+            rhs = -(bc - (A @ bp.reshape(-1)).reshape(L, 6))
+            rhs = rhs * free_cam[:, None]
+            Sm = S.reshape(L * 6, L * 6)
+            dc = jnp.linalg.solve(Sm, rhs.reshape(-1)).reshape(L, 6)
+            dc = jnp.where(jnp.isfinite(dc), dc, 0.0) * free_cam[:, None]
+            WTdc = (dc.reshape(-1) @ B).reshape(P, 3)
+            dp = jnp.einsum("pij,pj->pi", Hpp_inv, -(bp + WTdc))
+        else:
+            def WT_x(xc):      # [L,6] -> [P,3]  (W^T x via obs scatter)
+                v = jnp.einsum("oij,oi->oj", Wo, xc[okf])
+                return jnp.zeros((P, 3), dtype).at[optc].add(v * ovalid0[:, None])
 
-        def S_mv(xc):      # reduced-camera-system matvec
-            Hx = jnp.einsum("lij,lj->li", Hcc_d, xc)
-            u = jnp.einsum("pij,pj->pi", Hpp_inv, WT_x(xc))
-            return (Hx - W_u(u)) * free_cam[:, None] + xc * kf_fixed[:, None]
+            def W_u(u):        # [P,3] -> [L,6]
+                g = jnp.einsum("oij,oj->oi", Wo, u[optc]) * ovalid0[:, None]
+                return jnp.zeros((L, 6), dtype).at[okf].add(g)
 
-        rhs = -(bc - W_u(jnp.einsum("pij,pj->pi", Hpp_inv, bp)))
-        rhs = rhs * free_cam[:, None]
-        Minv = _inv6x6_block(Hcc_d)  # block-Jacobi preconditioner
+            def S_mv(xc):      # reduced-camera-system matvec
+                Hx = jnp.einsum("lij,lj->li", Hcc_d, xc)
+                u = jnp.einsum("pij,pj->pi", Hpp_inv, WT_x(xc))
+                return (Hx - W_u(u)) * free_cam[:, None] + xc * kf_fixed[:, None]
 
-        def pcg(rhs):
-            x0 = jnp.zeros((L, 6), dtype)
-            r0 = rhs
-            z0 = jnp.einsum("lij,lj->li", Minv, r0)
-            p0 = z0
-            rz0 = jnp.sum(r0 * z0)
+            rhs = -(bc - W_u(jnp.einsum("pij,pj->pi", Hpp_inv, bp)))
+            rhs = rhs * free_cam[:, None]
+            Minv = _inv6x6_block(Hcc_d)  # block-Jacobi preconditioner
 
-            def body(_, st):
-                xk, rk, pk, rzk = st
-                Ap = S_mv(pk)
-                alpha = rzk / jnp.maximum(jnp.sum(pk * Ap), 1e-30)
-                xk = xk + alpha * pk
-                rk = rk - alpha * Ap
-                zk = jnp.einsum("lij,lj->li", Minv, rk)
-                rzn = jnp.sum(rk * zk)
-                beta = rzn / jnp.maximum(rzk, 1e-30)
-                return xk, rk, zk + beta * pk, rzn
+            def pcg(rhs):
+                x0 = jnp.zeros((L, 6), dtype)
+                r0 = rhs
+                z0 = jnp.einsum("lij,lj->li", Minv, r0)
+                p0 = z0
+                rz0 = jnp.sum(r0 * z0)
 
-            x, _, _, _ = jax.lax.fori_loop(0, pcg_iters, body, (x0, r0, p0, rz0))
-            return x
+                def body(_, st):
+                    xk, rk, pk, rzk = st
+                    Ap = S_mv(pk)
+                    alpha = rzk / jnp.maximum(jnp.sum(pk * Ap), 1e-30)
+                    xk = xk + alpha * pk
+                    rk = rk - alpha * Ap
+                    zk = jnp.einsum("lij,lj->li", Minv, rk)
+                    rzn = jnp.sum(rk * zk)
+                    beta = rzn / jnp.maximum(rzk, 1e-30)
+                    return xk, rk, zk + beta * pk, rzn
 
-        dc = pcg(rhs)
-        dc = jnp.where(jnp.isfinite(dc), dc, 0.0) * free_cam[:, None]
-        dp = jnp.einsum("pij,pj->pi", Hpp_inv, -(bp + WT_x(dc)))
+                x, _, _, _ = jax.lax.fori_loop(0, pcg_iters, body,
+                                               (x0, r0, p0, rz0))
+                return x
+
+            dc = pcg(rhs)
+            dc = jnp.where(jnp.isfinite(dc), dc, 0.0) * free_cam[:, None]
+            dp = jnp.einsum("pij,pj->pi", Hpp_inv, -(bp + WT_x(dc)))
         dp = jnp.where(jnp.isfinite(dp), dp, 0.0) * pt_opt[:, None]
 
         new_poses = jax.vmap(lie.se3_retract)(poses, dc)

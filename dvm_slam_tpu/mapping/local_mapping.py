@@ -678,7 +678,7 @@ class LocalMapper:
             # the first linear init uses few keyframes and its scale error
             # propagates to the whole trajectory otherwise
             grown = len(tracker.kf_chain) - getattr(self, "_kfs_at_init", 0)
-            if self._scale_refinements < 3 and grown >= 4 * (self._scale_refinements + 1):
+            if self._scale_refinements < 3 and grown >= 2 * (self._scale_refinements + 1):
                 self.refine_scale(tracker)
 
         # uuid assignment for newly created points is DEFERRED: pulling

@@ -165,7 +165,8 @@ class System:
             "state": self.tracker.state,
             "kf_timestamps": self.tracker.kf_timestamps,
             "agent_id": self.agent_id,
-            "trajectory": self.tracker.trajectory,
+            "trajectory": [(t, np.asarray(p), st)
+                           for t, p, st in self.tracker.trajectory],
         }
         payload = wirecodec.dumps(state)
         digest = hashlib.md5(payload).hexdigest().encode()
@@ -193,6 +194,7 @@ class System:
         merged = map_state.update_point_stats(merged, fc.n_levels, fc.scale_factor)
         self.tracker.map = merged
         self.tracker.meta = meta
+        self.tracker.n_kf_host = int(merged.n_kf)
         self.tracker.last_pose = jnp.asarray(state["last_pose"])
         self.tracker.velocity = jnp.asarray(state["velocity"])
         self.tracker.state = state["state"]

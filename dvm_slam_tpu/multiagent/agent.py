@@ -456,6 +456,7 @@ class SlamAgent:
             )
         self.tracker.map = merged
         self.tracker.meta = meta
+        self.tracker.n_kf_host = int(merged.n_kf)
 
         peer = self.peers[peer_id]
         peer.successfully_merged = True
@@ -641,6 +642,7 @@ class SlamAgent:
             merged = map_state.update_point_stats(merged, fc.n_levels, fc.scale_factor)
         self.tracker.map = merged
         self.tracker.meta = meta
+        self.tracker.n_kf_host = int(merged.n_kf)
         if m.sender_agent_id in self.peers.peers:
             self.peers[m.sender_agent_id].sent_key_frame_uuids.update(
                 msgs.uuid_key(u) for u in packet.kf_uuid

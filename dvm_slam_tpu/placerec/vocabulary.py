@@ -164,5 +164,9 @@ def bow_vector(levels, idf, desc, valid, branch: int, n_words: int):
 
 def l1_score(q, bows):
     """DBoW2 L1 similarity of one normalized query vs [K,W] normalized BoWs:
-    s = 1 - 0.5 * |q - b|_1, in [0,1]."""
-    return 1.0 - 0.5 * jnp.sum(jnp.abs(q[None, :] - bows), axis=-1)
+    s = 1 - 0.5 * |q - b|_1, in [0,1]. An EMPTY bow (no features — e.g. a
+    textureless frame) scores 0 against everything: two zero vectors would
+    otherwise score a perfect 1.0."""
+    s = 1.0 - 0.5 * jnp.sum(jnp.abs(q[None, :] - bows), axis=-1)
+    nonempty = (jnp.sum(q) > 0) & (jnp.sum(bows, axis=-1) > 0)
+    return jnp.where(nonempty, s, 0.0)

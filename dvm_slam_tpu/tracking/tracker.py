@@ -217,6 +217,15 @@ class MonocularTracker:
         self._cur_ts = None
         self._init_ts = None
         self.meta_dirty = False  # new points exist whose uuids are unassigned
+        self.n_kf_host = 0       # host mirror of map.n_kf (KFs are append-only)
+        # --- pipelined mode (async_depth > 0): the per-frame readback of
+        # n_inliers is overlapped with the next frames' dispatches; state-
+        # machine decisions run `async_depth` frames behind. This is the
+        # TPU-native answer to the reference's tracking/mapping thread
+        # overlap (System.cc:209,226): device work streams without the host
+        # round-trip on every frame. Visual-only (IMU mode stays sync).
+        self.async_depth = 0
+        self._pipeline = []      # [(timestamp, frame, res)] pending frames
 
     def flush_meta(self):
         """Assign uuids to points the (asynchronously dispatched) mapper
@@ -301,11 +310,59 @@ class MonocularTracker:
         self._cur_ts = timestamp
         if self.state == NOT_INITIALIZED:
             pose = self._try_initialize(frame)
+        elif self.async_depth > 0 and not self.inertial:
+            pose = self._track_pipelined(frame, timestamp)
         else:
             pose = self._track(frame, timestamp)
         if pose is not None:
-            self.trajectory.append((timestamp, np.asarray(pose), self.state))
+            # device array kept as-is: materializing here would force a
+            # host sync per frame; consumers (save_trajectory, rebase)
+            # materialize lazily
+            self.trajectory.append((timestamp, pose, self.state))
         return pose
+
+    # -- pipelined tracking (dispatch-only; decisions run depth frames late)
+
+    def _track_pipelined(self, frame: Frame, timestamp: float):
+        # dispatch this frame against the freshest device-side pose chain
+        T_pred = lie.se3_mul(self.velocity, self.last_pose)
+        res = track_frame(self.map, frame, T_pred, self.K, self.config)
+        res.n_inliers.copy_to_host_async()  # overlap the D2H readback
+        # device-future chain: prediction stays per-frame fresh even though
+        # the host decision lags
+        self.velocity = lie.se3_mul(res.T_cw, lie.se3_inv(self.last_pose))
+        self.last_pose = res.T_cw
+        self._pipeline.append((timestamp, frame, res))
+        if len(self._pipeline) > self.async_depth:
+            self._retire_pipelined()
+        return res.T_cw
+
+    def _retire_pipelined(self):
+        """Resolve the oldest in-flight frame and run its host-side state
+        machine (lost handling, visibility counters, keyframe decision)."""
+        ts, frame, res = self._pipeline.pop(0)
+        n_inl = int(res.n_inliers)  # readback started at dispatch time
+        if n_inl < self.config.min_track_inliers:
+            self.state = RECENTLY_LOST if self.state == OK else LOST
+            self._lost_frames += 1
+            # drop the poisoned device chain: restart prediction from the
+            # last retired-good pose
+            if self._pipeline:
+                self._pipeline.clear()
+            self.velocity = lie.se3_identity()
+            return
+        self._lost_frames = 0
+        self.state = OK
+        self._last_good_ts = ts
+        self.map = update_visibility(self.map, res.visible, res.found)
+        self.frames_since_kf += 1
+        if self._need_new_keyframe(n_inl):
+            self._create_keyframe(frame, res)
+
+    def flush_pipeline(self):
+        """Drain all in-flight frames (sequence end / before map export)."""
+        while self._pipeline:
+            self._retire_pipelined()
 
     # -- initialization -----------------------------------------------------
 
@@ -393,6 +450,7 @@ class MonocularTracker:
         self.last_pose = T2
         self.velocity = lie.se3_identity()
         self.last_kf_slot = 1
+        self.n_kf_host = 2
         if self.inertial:
             # preintegration between the two bootstrap keyframes
             self.kf_chain = [0, 1]
@@ -523,6 +581,8 @@ class MonocularTracker:
         self.ref_kf_tracked = 0
         self.last_kf_slot = -1
         self._lost_frames = 0
+        self.n_kf_host = 0
+        self._pipeline = []
         self.imu_initialized = False
         self.kf_chain = []
         self.kf_preint = {}
@@ -549,7 +609,10 @@ class MonocularTracker:
             frame.desc, frame.valid, res.obs,
         )
         self.map = m
-        s = int(slot)
+        # keyframes are append-only: the slot is known host-side without a
+        # device readback (n_kf_host is resynced on merge/splice paths)
+        s = self.n_kf_host
+        self.n_kf_host += 1
         self.meta.kf_uuid[s] = self.meta.new_uuids(1)[0]
         self.meta.kf_creator[s] = self.meta.agent_id
         self.last_kf_slot = s
@@ -574,6 +637,7 @@ class MonocularTracker:
                 merged, meta, kf_map, S_ab, stored_ts = out
                 self.map = merged
                 self.meta = meta
+                self.n_kf_host = int(merged.n_kf)
                 Sj = jnp.asarray(S_ab)
                 Sc = lie.sim3_mul(lie.sim3_from_se3(self.last_pose), lie.sim3_inv(Sj))
                 self.last_pose = lie.se3(

@@ -1,7 +1,7 @@
 """Real-sequence integration path (the reference's rosbag replay flow,
 `central_management_interface/main.py:270-317`):
 
-* a committed mini EuRoC-layout fixture (16 frames of 240x180 imagery —
+* a committed mini EuRoC-layout fixture (24 frames of 240x180 imagery —
   real-photograph texture rendered under true perspective, see
   tests/fixtures/mini_euroc/) always runs through `console run-dataset`
   end-to-end: dataset loader -> vocabulary training -> SlamAgent tracking ->
@@ -46,7 +46,7 @@ class TestMiniEurocFixture:
         from dvm_slam_tpu.io import datasets
 
         seq = datasets.load_euroc(FIXTURE)
-        assert len(seq) == 16
+        assert len(seq) == 24
         ts, img = seq[0]
         assert img.shape == (180, 240)
         assert img.dtype == np.float32

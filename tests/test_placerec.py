@@ -163,8 +163,9 @@ class TestPrecisionRecallUnderAliasing:
         world = synthetic.PlaneWorld(seed=11, tex_size=2048, plane_z=6.0,
                                      extent=60.0)
 
-        # 12 places on a grid inside one world (aliased texture statistics)
-        places = [(-20 + 8 * (i % 6), -4.0 + 8.0 * (i // 6)) for i in range(12)]
+        # 12 places on a grid inside one world (aliased texture statistics);
+        # both rows keep the textured plane (z=6) fully in view
+        places = [(-21 + 7 * (i % 6), -4.0 - 5.0 * (i // 6)) for i in range(12)]
         n = len(places)
         db = database.create(n, voc.n_words)
 
@@ -211,17 +212,21 @@ class TestPrecisionRecallUnderAliasing:
             return vocabulary.bow_vector(lv, idf, f.desc, f.valid,
                                          voc.branch, voc.n_words)
 
+        # db shaped like a real map: CONSECUTIVE keyframes along a path
+        # (overlapping views) so the best match has own-map support and the
+        # baseline score is meaningful — the gate compares a foreign match
+        # against that baseline (`KeyFrameDatabase.cc` DetectMergePossibility)
         n = 8
         db = database.create(n, voc.n_words)
         for i in range(n):
-            db = database.add(db, jnp.int32(i), bow_of(world, -16 + 5 * i, 0.0))
+            db = database.add(db, jnp.int32(i), bow_of(world, -2 + 0.6 * i, -4.0))
         covis = jnp.zeros((n, n), jnp.int32)
 
         # a true revisit passes the 0.9x-baseline gate
-        ok_true, *_ = database.detect_merge_possibility(
-            db, bow_of(world, -16, 0.0, dx=0.3), covis)
+        ok_true, _, s_t, b_t = database.detect_merge_possibility(
+            db, bow_of(world, -2, -4.0, dx=0.25), covis)
         # a frame from a DIFFERENT world does not
-        ok_false, *_ = database.detect_merge_possibility(
-            db, bow_of(other, 0.0, 0.0), covis)
-        assert bool(ok_true)
-        assert not bool(ok_false)
+        ok_false, _, s_f, b_f = database.detect_merge_possibility(
+            db, bow_of(other, 0.0, -4.0), covis)
+        assert bool(ok_true), (float(s_t), float(b_t))
+        assert not bool(ok_false), (float(s_f), float(b_f))
