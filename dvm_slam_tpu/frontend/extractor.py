@@ -71,7 +71,12 @@ class FrontendConfig:
 
 class Frame(NamedTuple):
     """Fixed-capacity feature set of one image. All arrays have leading dim
-    F = config.capacity; invalid slots are masked."""
+    F = config.capacity; invalid slots are masked.
+
+    Stereo / RGB-D frames (`Frame.cc:149,265`) carry two extra channels:
+    `ur` (virtual right-image u coordinate, -1 for monocular observations)
+    and `depth` (metric depth, -1 unknown). Monocular frames leave them as
+    None (empty pytree leaves — no cost in jit)."""
 
     xy: jnp.ndarray        # [F,2] float32 undistorted keypoints, level-0 px
     xy_raw: jnp.ndarray    # [F,2] float32 raw (distorted) keypoints, level-0 px
@@ -80,6 +85,8 @@ class Frame(NamedTuple):
     response: jnp.ndarray  # [F] float32 FAST score
     desc: jnp.ndarray      # [F,256] uint8 bits in {0,1}
     valid: jnp.ndarray     # [F] bool
+    ur: jnp.ndarray | None = None      # [F] float32 right-u, -1 = mono
+    depth: jnp.ndarray | None = None   # [F] float32 metric depth, -1 = none
 
     @property
     def capacity(self):
@@ -90,6 +97,12 @@ class Frame(NamedTuple):
 def extract(img, config: FrontendConfig):
     """Grayscale [H,W] float32 (0..255) -> Frame (keypoints in RAW px;
     undistortion is applied by `make_frame` with camera params)."""
+    return _extract_impl(img, config)[0]
+
+
+def _extract_impl(img, config: FrontendConfig):
+    """extract() body; also returns the pyramid levels (stereo SAD needs
+    them alive inside the same jit)."""
     levels = pyramid.build_pyramid(img, config.n_levels, config.scale_factor)
     budgets = config.level_budgets
     scales = config.scales
@@ -117,7 +130,7 @@ def extract(img, config: FrontendConfig):
         all_desc.append(desc)
         all_valid.append(valid)
 
-    return Frame(
+    frame = Frame(
         xy=jnp.concatenate(all_xy),
         xy_raw=jnp.concatenate(all_xy),
         level=jnp.concatenate(all_lv),
@@ -126,6 +139,7 @@ def extract(img, config: FrontendConfig):
         desc=jnp.concatenate(all_desc),
         valid=jnp.concatenate(all_valid),
     )
+    return frame, levels
 
 
 @partial(jax.jit, static_argnames=("config", "camera_model"))
@@ -146,6 +160,12 @@ def make_frame(img, K, dist, config: FrontendConfig, camera_model: str = "pinhol
     from ..geometry import cameras
 
     f = extract(img, config)
+    return _undistort_frame(f, K, dist, camera_model)
+
+
+def _undistort_frame(f: Frame, K, dist, camera_model: str):
+    from ..geometry import cameras
+
     if camera_model == "kb8":
         params = jnp.concatenate([K[:4], dist[:4]])
         rays = cameras.kb8_unproject(params, f.xy_raw)
@@ -153,3 +173,41 @@ def make_frame(img, K, dist, config: FrontendConfig, camera_model: str = "pinhol
     else:
         xy_un = cameras.undistort_pixels(K, dist, f.xy_raw)
     return f._replace(xy=jnp.where(f.valid[:, None], xy_un, f.xy_raw))
+
+
+@partial(jax.jit, static_argnames=("config",))
+def make_frame_stereo(img_l, img_r, K, dist, config: FrontendConfig,
+                      baseline):
+    """Rectified-stereo frame construction (`Frame.cc:149`): extract ORB in
+    both views, dense-Hamming + SAD stereo correspondence (ops/stereo.py),
+    keypoints/descriptors of the LEFT view define the frame. Rectified
+    input assumed -> `dist` applies to neither view (pass zeros)."""
+    from ..ops import stereo as stereo_ops
+
+    fl, pyr_l = _extract_impl(img_l, config)
+    fr, pyr_r = _extract_impl(img_r, config)
+    ur, depth = stereo_ops.compute_stereo_matches(
+        fl.xy_raw, fl.level, fl.desc, fl.valid,
+        fr.xy_raw, fr.level, fr.desc, fr.valid,
+        pyr_l, pyr_r, K[0], baseline,
+        scale_factor=config.scale_factor, n_levels=config.n_levels,
+    )
+    fl = _undistort_frame(fl, K, dist, "pinhole")
+    return fl._replace(ur=ur, depth=depth)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def make_frame_rgbd(img, depth_map, K, dist, config: FrontendConfig,
+                    bf, depth_factor: float = 1.0):
+    """RGB-D frame construction (`Frame.cc:265`): mono extraction + depth
+    lookup at each keypoint, virtual right coordinate uR = u - bf/d
+    (`Frame::ComputeStereoFromRGBD`). bf = fx * virtual baseline (the
+    reference's `Camera.bf` setting)."""
+    from ..ops import stereo as stereo_ops
+
+    f = extract(img, config)
+    ur, depth = stereo_ops.compute_stereo_from_rgbd(
+        f.xy_raw, f.valid, depth_map, bf, depth_factor
+    )
+    f = _undistort_frame(f, K, dist, "pinhole")
+    return f._replace(ur=ur, depth=depth)

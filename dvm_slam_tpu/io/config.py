@@ -33,6 +33,10 @@ class CameraSettings:
     new_height: Optional[int] = None
     fps: float = 20.0
     rgb: bool = True
+    # stereo / RGB-D (`Settings::readCamera2` bf + ThDepth, Settings.cc:360)
+    baseline: float = 0.0            # meters (stereo) / virtual (RGB-D)
+    th_depth: float = 40.0           # close-point gate = th_depth * baseline
+    depth_map_factor: float = 1.0    # RGB-D raw units -> meters
 
     @property
     def out_width(self):
@@ -112,6 +116,8 @@ class SystemSettings:
             kf_cap=self.kf_capacity, pt_cap=self.pt_capacity,
             fps=self.camera.fps,
             camera_model=self.camera.model,
+            baseline=self.camera.baseline,
+            th_depth_ratio=self.camera.th_depth,
         )
 
 
@@ -160,6 +166,16 @@ def settings_from_dict(raw: dict) -> SystemSettings:
         fps=float(_get(flat, "Camera.fps", default=20.0)),
         rgb=bool(_get(flat, "Camera.RGB", default=1)),
     )
+    # `Camera.bf` is fx * baseline in the reference; store the baseline
+    bf = _get(flat, "Camera.bf", "Stereo.b", default=None)
+    if bf is not None:
+        b = float(bf)
+        cam.baseline = b / cam.fx if b > 1e-2 * cam.fx else b
+    cam.th_depth = float(_get(flat, "Stereo.ThDepth", "ThDepth",
+                              default=40.0))
+    dmf = _get(flat, "RGBD.DepthMapFactor", "DepthMapFactor", default=None)
+    if dmf is not None and float(dmf) != 0.0:
+        cam.depth_map_factor = 1.0 / float(dmf)
     if model == "kb8":
         cam.dist = tuple(
             float(_get(flat, f"Camera1.k{i}", default=0.0)) for i in (1, 2, 3, 4)

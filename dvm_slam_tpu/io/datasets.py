@@ -100,6 +100,94 @@ def load_kitti(root: str, cam: int = 0) -> ImageSequence:
     return ImageSequence(stamps[:n], paths[:n])
 
 
+class StereoSequence:
+    """Timestamped rectified stereo pairs, loaded lazily. Pairs are matched
+    by nearest timestamp within `max_dt` (EuRoC cam0/cam1 share stamps)."""
+
+    def __init__(self, left: ImageSequence, right: ImageSequence,
+                 max_dt: float = 0.005):
+        rs = np.asarray(right.stamps)
+        stamps, lp, rp = [], [], []
+        for t, p in zip(left.stamps, left.paths):
+            j = int(np.argmin(np.abs(rs - t))) if len(rs) else -1
+            if j >= 0 and abs(rs[j] - t) <= max_dt:
+                stamps.append(t)
+                lp.append(p)
+                rp.append(right.paths[j])
+        self.stamps = stamps
+        self.left_paths = lp
+        self.right_paths = rp
+
+    def __len__(self):
+        return len(self.stamps)
+
+    def __iter__(self):
+        for t, pl, pr in zip(self.stamps, self.left_paths, self.right_paths):
+            yield t, _read_gray(pl), _read_gray(pr)
+
+    def __getitem__(self, i):
+        return (self.stamps[i], _read_gray(self.left_paths[i]),
+                _read_gray(self.right_paths[i]))
+
+
+class RgbdSequence:
+    """Timestamped RGB + registered depth (TUM RGB-D association by nearest
+    stamp, the role of the dataset's associate.py; depth stays in raw sensor
+    units — System.track_rgbd applies depth_map_factor)."""
+
+    def __init__(self, rgb: ImageSequence, depth: ImageSequence,
+                 max_dt: float = 0.02):
+        ds = np.asarray(depth.stamps)
+        stamps, rp, dp = [], [], []
+        for t, p in zip(rgb.stamps, rgb.paths):
+            j = int(np.argmin(np.abs(ds - t))) if len(ds) else -1
+            if j >= 0 and abs(ds[j] - t) <= max_dt:
+                stamps.append(t)
+                rp.append(p)
+                dp.append(depth.paths[j])
+        self.stamps = stamps
+        self.rgb_paths = rp
+        self.depth_paths = dp
+
+    def __len__(self):
+        return len(self.stamps)
+
+    def _read_depth(self, path):
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return np.asarray(im, np.float32)  # 16-bit depth kept raw
+
+    def __iter__(self):
+        for t, pr, pd in zip(self.stamps, self.rgb_paths, self.depth_paths):
+            yield t, _read_gray(pr), self._read_depth(pd)
+
+    def __getitem__(self, i):
+        return (self.stamps[i], _read_gray(self.rgb_paths[i]),
+                self._read_depth(self.depth_paths[i]))
+
+
+def load_euroc_stereo(root: str) -> StereoSequence:
+    """EuRoC cam0 (left) + cam1 (right). NOTE: raw EuRoC is unrectified —
+    feed pre-rectified folders, or accept the small distortion error."""
+    return StereoSequence(load_euroc(root, "cam0"), load_euroc(root, "cam1"))
+
+
+def load_tum_rgbd(root: str) -> RgbdSequence:
+    """TUM RGB-D: `rgb.txt` + `depth.txt` (16-bit png, factor 5000)."""
+    rgb = load_tum(root)
+    stamps, paths = [], []
+    with open(os.path.join(root, "depth.txt")) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            t, p = line.split()[:2]
+            stamps.append(float(t))
+            paths.append(os.path.join(root, p))
+    return RgbdSequence(rgb, ImageSequence(stamps, paths))
+
+
 def load_groundtruth_tum(path: str):
     """TUM-style ground truth: `ts tx ty tz qx qy qz qw` per line.
     Returns (stamps [N], poses_cw [N,7] wxyz+t convention used internally)."""

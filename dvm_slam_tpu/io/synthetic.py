@@ -109,6 +109,41 @@ class PlaneWorld:
         )
         return jnp.where(hit, val, 0.0)
 
+    @partial(jax.jit, static_argnames=("self", "h", "w"))
+    def render_depth(self, T_cw, K, h: int, w: int):
+        """Ray-traced z-depth map [h,w] (0 where no surface is hit) — the
+        camera-frame z of the first plane intersection. Exact ground truth
+        for RGB-D pipelines."""
+        T_wc = lie.se3_inv(T_cw)
+        c = lie.se3_t(T_wc)
+        u, v = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                            jnp.arange(h, dtype=jnp.float32))
+        d_cam = jnp.stack(
+            [(u - K[2]) / K[0], (v - K[3]) / K[1], jnp.ones_like(u)], axis=-1
+        )
+        d_w = lie.quat_rotate(lie.se3_q(T_wc)[None, None], d_cam)
+        best_t = jnp.full((h, w), jnp.inf)
+        for z, x0p, x1p, y0p, y1p in self.planes:
+            t = (z - c[2]) / jnp.where(jnp.abs(d_w[..., 2]) < 1e-9, 1e-9, d_w[..., 2])
+            pw = c[None, None] + t[..., None] * d_w
+            inside = (
+                (t > 1e-3) & (pw[..., 0] >= x0p) & (pw[..., 0] <= x1p)
+                & (pw[..., 1] >= y0p) & (pw[..., 1] <= y1p)
+            )
+            best_t = jnp.where(inside & (t < best_t), t, best_t)
+        # ray param t multiplies a unit-z camera direction -> t IS the z-depth
+        return jnp.where(jnp.isfinite(best_t), best_t, 0.0)
+
+    def render_stereo(self, T_cw, K, h: int, w: int, baseline: float):
+        """Rectified stereo pair: the right camera is the left translated by
+        +baseline along the camera x-axis (p_right = p_left - (b,0,0), i.e.
+        T_cw_right = Trans(-b) o T_cw_left). Returns (img_l, img_r)."""
+        img_l = self.render(T_cw, K, h, w)
+        shift = jnp.asarray([1.0, 0.0, 0.0, 0.0, -baseline, 0.0, 0.0],
+                            T_cw.dtype)
+        img_r = self.render(lie.se3_mul(shift, T_cw), K, h, w)
+        return img_l, img_r
+
 
 def smooth_trajectory(n_frames: int, lateral=2.5, forward=1.0, yaw=0.15,
                       seed=1, z_amp=0.1):

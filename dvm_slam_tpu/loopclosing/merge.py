@@ -244,6 +244,7 @@ def splice_map(mA: map_state.MapState, mB: map_state.MapState,
         kf_desc=scat_k(m.kf_desc, mB.kf_desc),
         kf_feat_valid=scat_k(m.kf_feat_valid, mB.kf_feat_valid),
         kf_obs=scat_k(m.kf_obs, obsB),
+        kf_ur=scat_k(m.kf_ur, mB.kf_ur),
         n_kf=n_kf_after.astype(jnp.int32),
     )
     return m

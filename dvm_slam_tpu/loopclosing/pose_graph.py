@@ -104,6 +104,89 @@ def optimize_pose_graph(poses, fixed, ei, ej, emeas, emask, iters: int = 20,
     return poses, final
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def optimize_pose_graph_4dof(poses, fixed, ei, ej, emeas, emask,
+                             iters: int = 20, damping: float = 1e-6):
+    """4-DoF essential graph (`Optimizer::OptimizeEssentialGraph4DoF`,
+    `Optimizer.cc:4940`): with an IMU, roll/pitch (and scale) are observable
+    from gravity, so loop corrections distribute only translation + yaw.
+
+    Nodes are SE3 [7] world->camera; the per-node tangent is restricted to
+    (tx,ty,tz,yaw) — a left-multiplied update exp([v, (0,0,w_z)]), exactly
+    the reference's VertexPose4DoF Rz(dyaw) composition. Edges are SE3
+    relative-pose measurements; residual r = log_se3(meas^-1 T_iw T_jw^-1).
+
+    Returns (poses' [N,7], final_cost)."""
+    N = poses.shape[0]
+    dtype = poses.dtype
+    zero4 = jnp.zeros(4, dtype)
+
+    def embed(x4):  # (tx,ty,tz,yaw) -> se3 tangent [6]
+        return jnp.concatenate([x4[:3], jnp.zeros(2, dtype), x4[3:4]])
+
+    def edge_res(T_iw, T_jw, meas):
+        rel = lie.se3_mul(T_iw, lie.se3_inv(T_jw))
+        return lie.se3_log(lie.se3_mul(lie.se3_inv(meas), rel))
+
+    def gn_step(carry, _):
+        p = carry
+
+        def per_edge(i, j, meas):
+            Ti, Tj = p[i], p[j]
+
+            def f(xi, xj):
+                return edge_res(
+                    lie.se3_retract(Ti, embed(xi)),
+                    lie.se3_retract(Tj, embed(xj)), meas
+                )
+
+            r = f(zero4, zero4)
+            Ji = jax.jacfwd(f, argnums=0)(zero4, zero4)  # [6,4]
+            Jj = jax.jacfwd(f, argnums=1)(zero4, zero4)
+            return r, Ji, Jj
+
+        r, Ji, Jj = jax.vmap(per_edge)(ei, ej, emeas)
+        w = emask.astype(dtype)
+        Ji = Ji * (~fixed[ei])[:, None, None]
+        Jj = Jj * (~fixed[ej])[:, None, None]
+
+        Hii = jnp.einsum("eki,e,ekj->eij", Ji, w, Ji)
+        Hjj = jnp.einsum("eki,e,ekj->eij", Jj, w, Jj)
+        Hij = jnp.einsum("eki,e,ekj->eij", Ji, w, Jj)
+        bi = jnp.einsum("eki,e,ek->ei", Ji, w, r)
+        bj = jnp.einsum("eki,e,ek->ei", Jj, w, r)
+
+        H = jnp.zeros((N, N, 4, 4), dtype)
+        H = H.at[ei, ei].add(Hii)
+        H = H.at[ej, ej].add(Hjj)
+        H = H.at[ei, ej].add(Hij)
+        H = H.at[ej, ei].add(jnp.swapaxes(Hij, -1, -2))
+        b = jnp.zeros((N, 4), dtype).at[ei].add(bi).at[ej].add(bj)
+
+        lam = damping * (1.0 + jnp.einsum("nnii->", H) / (4 * N))
+        H = H.at[jnp.arange(N), jnp.arange(N)].add(
+            lam * jnp.eye(4, dtype=dtype)
+        )
+        fix2 = fixed[:, None] | fixed[None, :]
+        H = jnp.where(fix2[:, :, None, None], 0.0, H)
+        H = H.at[jnp.arange(N), jnp.arange(N)].add(
+            fixed[:, None, None] * jnp.eye(4, dtype=dtype)
+        )
+        b = b * (~fixed)[:, None]
+
+        Hm = H.transpose(0, 2, 1, 3).reshape(4 * N, 4 * N)
+        dx = jnp.linalg.solve(Hm, -b.reshape(-1)).reshape(N, 4)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0) * (~fixed)[:, None]
+        newp = jax.vmap(lambda T, x: lie.se3_retract(T, embed(x)))(p, dx)
+        cost = jnp.sum(jnp.where(emask, jnp.sum(r * r, -1), 0.0))
+        return newp, cost
+
+    poses, _ = jax.lax.scan(gn_step, poses, None, length=iters)
+    r = jax.vmap(lambda i, j, s: edge_res(poses[i], poses[j], s))(ei, ej, emeas)
+    final = jnp.sum(jnp.where(emask, jnp.sum(r * r, -1), 0.0))
+    return poses, final
+
+
 def compute_spanning_tree(covis, kf_valid):
     """Maximum-weight spanning tree over the covisibility graph (the role of
     the reference's incremental `KeyFrame::ChangeParent` spanning tree,

@@ -37,6 +37,8 @@ from ..geometry import lie
 
 CHI2_MONO = 5.991
 HUBER_DELTA = math.sqrt(CHI2_MONO)
+CHI2_STEREO = 7.815  # chi2(3dof), stereo edges (`Optimizer.cc:1106`)
+HUBER_DELTA_STEREO = math.sqrt(CHI2_STEREO)
 
 # bundle_adjust_pcg picks its Schur strategy by the dense-coupling footprint:
 # below this, the [L,P,6,3] coupling matrix is materialized once per LM
@@ -86,6 +88,9 @@ def bundle_adjust(
     iters: int = 10,
     damping: float = 1e-4,
     stage2_iters: int = 5,
+    kf_ur=None,   # optional [L,F] stereo right-u (-1 mono); with bf adds the
+                  # third residual row (EdgeStereoSE3ProjectXYZ role)
+    bf=None,      # fx * baseline
 ):
     """Windowed BA. Returns (kf_pose', pts', total_chi2, inlier_mask [L,F])."""
     L, F = obs_pt.shape
@@ -97,6 +102,13 @@ def bundle_adjust(
     pidx = jnp.clip(obs_pt, 0)
     free_cam = (~kf_fixed).astype(dtype)          # [L]
     eye3 = jnp.eye(3, dtype=dtype)
+    stereo = None if kf_ur is None else (kf_ur >= 0.0) & obs_valid
+    chi2_th = CHI2_MONO if kf_ur is None else jnp.where(
+        stereo, CHI2_STEREO, CHI2_MONO
+    )
+    delta_h = HUBER_DELTA if kf_ur is None else jnp.where(
+        stereo, HUBER_DELTA_STEREO, HUBER_DELTA
+    )
 
     # one-hot incidence, built once (indices are constant across iterations)
     oh = (
@@ -135,16 +147,29 @@ def bundle_adjust(
         Pv = -(R1[:, :, None] * a11[None] + R2[:, :, None] * a12[None])
 
         chi2 = (ru * ru + rv * rv) * info
+        if kf_ur is None:
+            rw = zw = Jw = Pw = None
+        else:
+            # stereo third row: same plane pattern with a02 -> a02 + bf/z^2
+            c = bf * inv_z * inv_z
+            a02s = a02 + c
+            rw_ = kf_ur - (K[0] * x * inv_z + K[2] - bf * inv_z)
+            rw = jnp.where(stereo, rw_, 0.0)
+            Jw = jnp.stack([-a00, zero, -a02s, -a02s * y,
+                            -a00 * z + a02s * x, a00 * y])
+            Pw = -(R0[:, :, None] * a00[None] + R2[:, :, None] * a02s[None])
+            chi2 = chi2 + rw * rw * info
         w = info * active
         if robust:
             rn = jnp.sqrt(jnp.maximum(chi2, 1e-12))
-            w = w * jnp.minimum(1.0, HUBER_DELTA / rn)
+            w = w * jnp.minimum(1.0, delta_h / rn)
         w = w * (z > 0)
-        return ru, rv, z, Ju, Jv, Pu, Pv, chi2, w
+        return ru, rv, rw, z, Ju, Jv, Jw, Pu, Pv, Pw, chi2, w
 
     def gn_step(carry, _):
         poses, points, active = carry
-        ru, rv, z, Ju, Jv, Pu, Pv, chi2, w = compute_system(poses, points, active)
+        ru, rv, rw, z, Ju, Jv, Jw, Pu, Pv, Pw, chi2, w = compute_system(
+            poses, points, active)
 
         # gate fixed cameras / constant points
         Juc = Ju * free_cam[None, :, None]
@@ -165,13 +190,23 @@ def bundle_adjust(
         HppV = (
             Puc[:, None] * Puc[None, :] + Pvc[:, None] * Pvc[None, :]
         ) * w[None, None]                                      # [3,3,L,F]
+        bpV = Puc * (w * ru)[None] + Pvc * (w * rv)[None]      # [3,L,F]
+        # coupling values
+        WV = (Juc[:, None] * Puc[None, :] + Jvc[:, None] * Pvc[None, :]) * w[None, None]
+
+        if kf_ur is not None:
+            ws = w * stereo
+            Jwc = Jw * free_cam[None, :, None]
+            Pwc = Pw * popt_obs[None]
+            Hcc = Hcc + jnp.einsum("ilf,lf,jlf->lij", Jwc, ws, Jwc)
+            bc = bc + jnp.einsum("ilf,lf->li", Jwc, ws * rw)
+            HppV = HppV + (Pwc[:, None] * Pwc[None, :]) * ws[None, None]
+            bpV = bpV + Pwc * (ws * rw)[None]
+            WV = WV + (Jwc[:, None] * Pwc[None, :]) * ws[None, None]
+
         HppP = jnp.einsum("ijlf,lfp->ijp", HppV, oh)           # [3,3,P]
         Hpp = jnp.moveaxis(HppP, -1, 0)                        # [P,3,3]
-        bpV = Puc * (w * ru)[None] + Pvc * (w * rv)[None]      # [3,L,F]
         bpP = jnp.einsum("ilf,lfp->ip", bpV, oh)               # [3,P]
-
-        # coupling: [L,6,3,P]
-        WV = (Juc[:, None] * Puc[None, :] + Jvc[:, None] * Pvc[None, :]) * w[None, None]
         W = jnp.einsum("ijlf,lfp->lijp", WV, oh)               # [L,6,3,P]
 
         # damp + closed-form invert point blocks
@@ -221,20 +256,31 @@ def bundle_adjust(
         new_points = points + dp
         return (new_poses, new_points, active), jnp.sum(jnp.where(obs_valid, chi2, 0.0))
 
+    def chi2_full(poses, points):
+        r, z = _resid_only(poses, points, pidx, kf_xy, K)
+        chi2 = jnp.sum(r * r, axis=-1) * info
+        if kf_ur is not None:
+            Xo = points[pidx]
+            pc = (lie.quat_rotate(lie.se3_q(poses)[:, None, :], Xo)
+                  + lie.se3_t(poses)[:, None, :])
+            zz = jnp.where(jnp.abs(pc[..., 2]) < 1e-9, 1e-9, pc[..., 2])
+            ur_pred = K[0] * pc[..., 0] / zz + K[2] - bf / zz
+            rw = jnp.where(stereo, kf_ur - ur_pred, 0.0)
+            chi2 = chi2 + rw * rw * info
+        return chi2, z
+
     active0 = obs_valid.astype(dtype)
     (poses, points, _), _ = jax.lax.scan(
         gn_step, (kf_pose, pts, active0), None, length=iters
     )
     # drop outlier edges, re-optimize (reference stage 2)
-    r, z = _resid_only(poses, points, pidx, kf_xy, K)
-    chi2 = jnp.sum(r * r, axis=-1) * info
-    stage2 = obs_valid & (chi2 <= CHI2_MONO) & (z > 0)
+    chi2, z = chi2_full(poses, points)
+    stage2 = obs_valid & (chi2 <= chi2_th) & (z > 0)
     (poses, points, _), _ = jax.lax.scan(
         gn_step, (poses, points, stage2.astype(dtype)), None, length=stage2_iters
     )
-    r, z = _resid_only(poses, points, pidx, kf_xy, K)
-    chi2 = jnp.sum(r * r, axis=-1) * info
-    inliers = obs_valid & (chi2 <= CHI2_MONO) & (z > 0)
+    chi2, z = chi2_full(poses, points)
+    inliers = obs_valid & (chi2 <= chi2_th) & (z > 0)
     total = jnp.sum(jnp.where(inliers, chi2, 0.0))
     return poses, points, total, inliers
 

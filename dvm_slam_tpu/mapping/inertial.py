@@ -136,3 +136,36 @@ def inertial_optimization(state: ImuState, pres: imu.Preintegrated,
     s, costs = jax.lax.scan(gn, state, None, length=iters)
     final = jnp.sum(jnp.square(stacked(jnp.zeros(N * 15), s)))
     return s, final
+
+
+@partial(jax.jit, static_argnames=("start", "end"))
+def marginalize(H, b, start: int, end: int):
+    """Schur-complement marginalization of the state block [start, end) out
+    of a Gauss-Newton system (`Optimizer::Marginalize`, `Optimizer.cc:2744`):
+    returns (H', b') of the remaining states with the marginalized block's
+    information folded in as a dense prior. H [D,D], b [D]; the returned
+    system keeps the original indexing with zeroed marginalized rows/cols,
+    exactly like the reference (it re-embeds the reduced system).
+    """
+    D = H.shape[0]
+    keep = jnp.ones((D,), bool).at[jnp.arange(start, end)].set(False)
+    # partition via gather on static index sets
+    import numpy as _np
+    ki = _np.concatenate([_np.arange(0, start), _np.arange(end, D)])
+    mi = _np.arange(start, end)
+    Hrr = H[_np.ix_(ki, ki)]
+    Hrm = H[_np.ix_(ki, mi)]
+    Hmm = H[_np.ix_(mi, mi)]
+    br = b[ki]
+    bm = b[mi]
+    # symmetrize + eigen-guarded pseudo-inverse of the marginal block
+    Hmm = 0.5 * (Hmm + Hmm.T)
+    w, V = jnp.linalg.eigh(Hmm)
+    w_inv = jnp.where(w > 1e-8, 1.0 / w, 0.0)
+    Hmm_inv = (V * w_inv[None, :]) @ V.T
+    Hp = Hrr - Hrm @ Hmm_inv @ Hrm.T
+    bp = br - Hrm @ (Hmm_inv @ bm)
+    # re-embed at original indices (marginalized rows/cols zero)
+    Hout = jnp.zeros_like(H).at[_np.ix_(ki, ki)].set(Hp)
+    bout = jnp.zeros_like(b).at[ki].set(bp)
+    return Hout, bout

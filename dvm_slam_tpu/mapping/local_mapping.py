@@ -276,7 +276,7 @@ def cull_points(m: map_state.MapState, current_kf):
 # windowed bundle adjustment
 # --------------------------------------------------------------------------
 
-def _compact_obs(kf_xy, kf_sig, obs_pt, n_obs: int):
+def _compact_obs(kf_xy, kf_sig, obs_pt, n_obs: int, kf_ur=None):
     """Keep the `n_obs` best slots per keyframe row (valid observations
     first). The feature table is mostly masked slots — compaction cuts every
     per-observation gather/scatter in the BA iterations proportionally."""
@@ -287,6 +287,7 @@ def _compact_obs(kf_xy, kf_sig, obs_pt, n_obs: int):
         jnp.take_along_axis(kf_xy, sel[..., None], axis=1),
         take(kf_sig),
         take(obs_pt),
+        None if kf_ur is None else take(kf_ur),
     )
 
 
@@ -294,7 +295,7 @@ def _compact_obs(kf_xy, kf_sig, obs_pt, n_obs: int):
 def local_ba(m: map_state.MapState, center, K,
              n_local: int = 16, n_fixed: int = 16, n_pts: int = 4096,
              iters: int = 6, n_levels: int = 8, scale_factor: float = 1.2,
-             n_obs: int = 512):
+             n_obs: int = 512, bf=None):
     """Covisibility-window BA around `center` (`Optimizer::LocalBundleAdjustment`
     window semantics, `Optimizer.cc:1030-1107`): local = center + covisible
     keyframes; points = those observed by local keyframes; fixed = other
@@ -303,6 +304,7 @@ def local_ba(m: map_state.MapState, center, K,
     sigma2_lv = scales * scales
     P = m.pt_capacity
     F = m.feat_capacity
+    n_pts = min(n_pts, P)  # small maps: window cannot exceed capacity
 
     cov = map_state.covisibility(m)[center]
     cw, cidx = jax.lax.top_k(cov, n_local - 1)
@@ -356,9 +358,12 @@ def local_ba(m: map_state.MapState, center, K,
 
     F = m.feat_capacity
     no = min(n_obs, F)
-    kf_xy_c, kf_sig_c, obs_pt_c = _compact_obs(kf_xy, kf_sig, obs_pt, no)
+    kf_ur = None if bf is None else jnp.where(rmask[:, None], m.kf_ur[rowc], -1.0)
+    kf_xy_c, kf_sig_c, obs_pt_c, kf_ur_c = _compact_obs(
+        kf_xy, kf_sig, obs_pt, no, kf_ur)
     new_poses, new_pts, chi2, inliers_c = ba.bundle_adjust(
-        poses, fixed, kf_xy_c, kf_sig_c, obs_pt_c, pts, pt_opt, K, iters=iters
+        poses, fixed, kf_xy_c, kf_sig_c, obs_pt_c, pts, pt_opt, K, iters=iters,
+        kf_ur=kf_ur_c, bf=bf,
     )
     # expand the compacted inlier mask back onto the full feature table
     score = (obs_pt >= 0).astype(jnp.float32)
@@ -618,6 +623,11 @@ class LocalMapper:
         return m._replace(kf_pose=kf_pose, pt_pos=pt_pos)
 
     def on_initial_map(self, tracker):
+        if tracker.n_kf_host < 2:
+            # depth-sensor bootstrap: one keyframe at identity with
+            # true-scale points — nothing to optimize yet
+            self._kfs_at_init = 1
+            return
         fc = tracker.config.frontend
         m, _ = local_ba(
             tracker.map, jnp.int32(1), tracker.K,
@@ -649,11 +659,14 @@ class LocalMapper:
                 tracker.map = m
                 m = self._vi_local_ba(tracker, slot)
             else:
+                bf = (float(tracker.K[0]) * tracker.config.baseline
+                      if tracker.config.depth_sensor else None)
                 m, _ = local_ba(
                     m, c, tracker.K,
                     n_local=self.ba_local, n_fixed=self.ba_fixed,
                     n_pts=self.ba_pts, iters=self.ba_iters,
                     n_levels=fc.n_levels, scale_factor=fc.scale_factor,
+                    bf=bf,
                 )
             m = map_state.update_point_stats(m, fc.n_levels, fc.scale_factor)
         tracker.map = m

@@ -38,6 +38,8 @@ class MapState(NamedTuple):
     kf_desc: jnp.ndarray    # [K,F,256] uint8 {0,1}
     kf_feat_valid: jnp.ndarray  # [K,F] bool
     kf_obs: jnp.ndarray     # [K,F] int32 -> point slot, -1 if none
+    kf_ur: jnp.ndarray      # [K,F] float32 stereo right-u (level-0 px),
+                            #   -1 = monocular observation (KeyFrame::mvuRight)
     # --- map points ---
     pt_pos: jnp.ndarray     # [P,3] world position
     pt_valid: jnp.ndarray   # [P] bool
@@ -104,6 +106,7 @@ def create(kf_cap: int, pt_cap: int, feat_cap: int, dtype=jnp.float32) -> MapSta
         kf_desc=jnp.zeros((kf_cap, feat_cap, 256), jnp.uint8),
         kf_feat_valid=jnp.zeros((kf_cap, feat_cap), bool),
         kf_obs=jnp.full((kf_cap, feat_cap), -1, jnp.int32),
+        kf_ur=jnp.full((kf_cap, feat_cap), -1.0, dtype),
         pt_pos=jnp.zeros((pt_cap, 3), dtype),
         pt_valid=jnp.zeros((pt_cap,), bool),
         pt_desc=jnp.zeros((pt_cap, 256), jnp.uint8),
@@ -155,10 +158,13 @@ def point_observers(m: MapState):
 # --------------------------------------------------------------------------
 
 @jax.jit
-def add_keyframe(m: MapState, pose, xy, level, angle, desc, feat_valid, obs):
-    """Append a keyframe at slot n_kf. obs: [F] int32 point slots (-1 none).
-    Returns (map, slot)."""
+def add_keyframe(m: MapState, pose, xy, level, angle, desc, feat_valid, obs,
+                 ur=None):
+    """Append a keyframe at slot n_kf. obs: [F] int32 point slots (-1 none);
+    ur: optional [F] stereo right-u (-1 mono). Returns (map, slot)."""
     i = m.n_kf
+    if ur is None:
+        ur = jnp.full(xy.shape[:1], -1.0, m.kf_ur.dtype)
     m = m._replace(
         kf_pose=m.kf_pose.at[i].set(pose),
         kf_valid=m.kf_valid.at[i].set(True),
@@ -168,6 +174,7 @@ def add_keyframe(m: MapState, pose, xy, level, angle, desc, feat_valid, obs):
         kf_desc=m.kf_desc.at[i].set(desc),
         kf_feat_valid=m.kf_feat_valid.at[i].set(feat_valid),
         kf_obs=m.kf_obs.at[i].set(obs),
+        kf_ur=m.kf_ur.at[i].set(ur),
         n_kf=m.n_kf + 1,
     )
     return m, i

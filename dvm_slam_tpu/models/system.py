@@ -33,6 +33,8 @@ from ..tracking import tracker as trk
 
 MONOCULAR = "monocular"
 IMU_MONOCULAR = "imu-monocular"
+STEREO = "stereo"
+RGBD = "rgbd"
 
 
 class System:
@@ -40,10 +42,11 @@ class System:
                  sensor: str = MONOCULAR, agent_id: int = 0,
                  vocabulary_file: Optional[str] = None,
                  use_viewer: bool = False):
-        if sensor not in (MONOCULAR, IMU_MONOCULAR):
+        if sensor not in (MONOCULAR, IMU_MONOCULAR, STEREO, RGBD):
             raise NotImplementedError(
-                "monocular / imu-monocular only — stereo/RGBD modes are "
-                "tracked as capability gaps for later rounds"
+                f"unknown sensor mode {sensor!r}; supported: monocular, "
+                "imu-monocular, stereo, rgbd (stereo-inertial is a tracked "
+                "capability gap)"
             )
         if isinstance(settings, str):
             settings = config_mod.load_settings(settings)
@@ -53,6 +56,15 @@ class System:
         self.voc = (vocabulary.load(vocabulary_file)
                     if vocabulary_file else None)
         cfg = settings.tracker_config()
+        if sensor in (STEREO, RGBD):
+            import dataclasses as _dc
+
+            if settings.camera.baseline <= 0.0:
+                raise ValueError(
+                    "stereo/rgbd sensor needs camera.baseline (or the "
+                    "reference's Camera.bf) in the settings"
+                )
+            cfg = _dc.replace(cfg, sensor=sensor)
         self.mapper = local_mapping.LocalMapper()
         inertial = sensor == IMU_MONOCULAR
         self.tracker = trk.MonocularTracker(
@@ -96,6 +108,32 @@ class System:
                 jnp.asarray(img, jnp.float32), (c.out_height, c.out_width), "linear"
             ))
         return self.tracker.process_image(img.astype(np.float32), timestamp)
+
+    def track_stereo(self, img_left, img_right, timestamp: float):
+        """`System::TrackStereo` (`System.h:124`): rectified grayscale pair
+        in, world->camera SE3 [7] out."""
+        img_left = self._prep(img_left)
+        img_right = self._prep(img_right)
+        return self.tracker.process_stereo_pair(img_left, img_right, timestamp)
+
+    def track_rgbd(self, img, depth_map, timestamp: float):
+        """`System::TrackRGBD` (`System.h:131`): grayscale + registered depth
+        (sensor units; scaled by camera.depth_map_factor)."""
+        img = self._prep(img)
+        depth = np.asarray(depth_map, np.float32) * self.settings.camera.depth_map_factor
+        return self.tracker.process_rgbd(img, depth, timestamp)
+
+    def _prep(self, img):
+        img = np.asarray(img)
+        if img.ndim == 3:
+            img = img.mean(-1)
+        c = self.settings.camera
+        if (c.new_width, c.new_height) != (None, None) and img.shape != (c.out_height, c.out_width):
+            import jax
+            img = np.asarray(jax.image.resize(
+                jnp.asarray(img, jnp.float32), (c.out_height, c.out_width), "linear"
+            ))
+        return img.astype(np.float32)
 
     def track_monocular_inertial(self, img, timestamp: float,
                                  acc, gyro, dts):

@@ -104,6 +104,7 @@ class MapPacket(NamedTuple):
     kf_desc: np.ndarray     # [k,F,32] u8 packed
     kf_feat_valid: np.ndarray  # [k,F] bool
     kf_obs: np.ndarray      # [k,F] i4 -> index into packet points, -1
+    kf_ur: np.ndarray       # [k,F] f32 stereo right-u, -1 = mono obs
     pt_uuid: np.ndarray     # [p,2] u64
     pt_creator: np.ndarray  # [p] i32
     pt_pos: np.ndarray      # [p,3] f32
@@ -119,6 +120,9 @@ class MapPacket(NamedTuple):
     @staticmethod
     def from_bytes(blob: bytes) -> "MapPacket":
         d = unpack_arrays(blob)
+        # wire compat: packets from mono-only senders lack kf_ur
+        if "kf_ur" not in d:
+            d["kf_ur"] = np.full(d["kf_obs"].shape, -1.0, np.float32)
         return MapPacket(**d)
 
     @property
@@ -171,6 +175,7 @@ def extract_submap(m, meta, kf_mask) -> MapPacket:
         kf_desc=_pack_bits(np.asarray(m.kf_desc)[kf_idx]),
         kf_feat_valid=np.asarray(m.kf_feat_valid)[kf_idx],
         kf_obs=obs_local,
+        kf_ur=np.asarray(m.kf_ur)[kf_idx].astype(np.float32),
         pt_uuid=meta.pt_uuid[pt_sel].astype(np.uint64),
         pt_creator=meta.pt_creator[pt_sel].astype(np.int32),
         pt_pos=np.asarray(m.pt_pos)[pt_sel].astype(np.float32),
@@ -204,6 +209,7 @@ def materialize(packet: MapPacket, feat_cap: int):
             kf_desc=jnp.asarray(_unpack_bits(packet.kf_desc)),
             kf_feat_valid=jnp.asarray(packet.kf_feat_valid),
             kf_obs=jnp.asarray(packet.kf_obs),
+            kf_ur=jnp.asarray(packet.kf_ur),
             n_kf=jnp.int32(k),
         )
     if packet.n_pt:

@@ -29,7 +29,9 @@ import jax.numpy as jnp
 from ..geometry import lie
 
 CHI2_MONO = 5.991
+CHI2_STEREO = 7.815  # chi2(3dof), `Optimizer.cc:888` deltaStereo^2
 HUBER_DELTA = math.sqrt(CHI2_MONO)
+HUBER_DELTA_STEREO = math.sqrt(CHI2_STEREO)
 
 
 def _residuals_and_planes(T, pts, uv, K):
@@ -52,9 +54,32 @@ def _residuals_and_planes(T, pts, uv, K):
     return r, z, Ju, Jv
 
 
+def _stereo_residual_and_plane(T, pts, ur, bf, K):
+    """Third residual row of stereo observations (EdgeStereoSE3ProjectXYZ,
+    `g2o/types_six_dof_expmap.h` role): r_ur = ur - (u_pred - bf/z).
+    Returns (r_ur [N], Jur [6,N]); rows with ur<0 are monocular (weight 0
+    at the caller)."""
+    pc = lie.quat_rotate(lie.se3_q(T)[None], pts) + lie.se3_t(T)[None]
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    inv_z = 1.0 / zs
+    u_pred = K[0] * x * inv_z + K[2]
+    r_ur = ur - (u_pred - bf * inv_z)
+    a00 = K[0] * inv_z
+    a02 = -K[0] * x * inv_z * inv_z
+    zero = jnp.zeros_like(x)
+    # d(u_r)/dpc = d(u)/dpc + (bf/z^2) * dz/dpc: the extra term is the
+    # Ju plane pattern evaluated at (a00=0, a02=bf/z^2)
+    c = bf * inv_z * inv_z
+    Ju = jnp.stack([-a00, zero, -a02, -a02 * y, -a00 * z + a02 * x, a00 * y])
+    Jz = jnp.stack([zero, zero, -c, -c * y, c * x, zero])
+    return r_ur, Ju + Jz
+
+
 @partial(jax.jit, static_argnames=("rounds", "iters"))
 def pose_optimization(T_init, pts, uv, sigma2, valid, K,
-                      rounds: int = 4, iters: int = 10, damping: float = 1e-3):
+                      rounds: int = 4, iters: int = 10, damping: float = 1e-3,
+                      ur=None, bf=None):
     """Optimize a world->camera pose against fixed 3D points.
 
     Args:
@@ -64,17 +89,39 @@ def pose_optimization(T_init, pts, uv, sigma2, valid, K,
       sigma2: [N] keypoint level variance (pixels^2), `mvLevelSigma2`.
       valid:  [N] bool observation mask.
       K:      [4] fx fy cx cy.
+      ur:     optional [N] stereo right-u observations (-1 = monocular row);
+              with `bf` (= fx * baseline) stereo rows contribute a third
+              residual and are gated at chi2(3dof) = 7.815
+              (`Optimizer::PoseOptimization` stereo edges, Optimizer.cc:888).
 
     Returns: (T [7], inliers [N] bool, chi2 [N]).
     """
     info = 1.0 / jnp.maximum(sigma2, 1e-12)
+    stereo = None if ur is None else (ur >= 0.0) & valid
+    chi2_th = CHI2_MONO if ur is None else jnp.where(
+        stereo, CHI2_STEREO, CHI2_MONO
+    )
+    delta_h = HUBER_DELTA if ur is None else jnp.where(
+        stereo, HUBER_DELTA_STEREO, HUBER_DELTA
+    )
+
+    def chi2_of(T):
+        r, z, _, _ = _residuals_and_planes(T, pts, uv, K)
+        chi2 = jnp.sum(r * r, axis=-1) * info
+        if ur is not None:
+            r_ur, _ = _stereo_residual_and_plane(T, pts, ur, bf, K)
+            chi2 = chi2 + jnp.where(stereo, r_ur * r_ur * info, 0.0)
+        return chi2, z
 
     def gn_round(T, active):
         def body(_, T):
             r, z, Ju, Jv = _residuals_and_planes(T, pts, uv, K)
             chi2 = jnp.sum(r * r, axis=-1) * info
+            if ur is not None:
+                r_ur, Jur = _stereo_residual_and_plane(T, pts, ur, bf, K)
+                chi2 = chi2 + jnp.where(stereo, r_ur * r_ur * info, 0.0)
             rn = jnp.sqrt(jnp.maximum(chi2, 1e-12))
-            w = info * jnp.minimum(1.0, HUBER_DELTA / rn) * active
+            w = info * jnp.minimum(1.0, delta_h / rn) * active
             # normal equations via [6,N] @ [N,6] MXU matmuls
             H = jnp.einsum("in,n,jn->ij", Ju, w, Ju) + jnp.einsum(
                 "in,n,jn->ij", Jv, w, Jv
@@ -82,6 +129,10 @@ def pose_optimization(T_init, pts, uv, sigma2, valid, K,
             b = jnp.einsum("in,n->i", Ju, w * r[:, 0]) + jnp.einsum(
                 "in,n->i", Jv, w * r[:, 1]
             )
+            if ur is not None:
+                ws = w * stereo
+                H = H + jnp.einsum("in,n,jn->ij", Jur, ws, Jur)
+                b = b + jnp.einsum("in,n->i", Jur, ws * r_ur)
             H = H + damping * jnp.eye(6, dtype=T.dtype) * (1.0 + jnp.trace(H) / 6.0)
             # measured: the LU custom-call beats the blocked closed form
             # here (single 6x6 per iteration, latency hidden in the chain)
@@ -95,12 +146,10 @@ def pose_optimization(T_init, pts, uv, sigma2, valid, K,
     T = T_init
     for _ in range(rounds):
         T = gn_round(T, active)
-        r, z, _, _ = _residuals_and_planes(T, pts, uv, K)
-        chi2 = jnp.sum(r * r, axis=-1) * info
-        inl = valid & (chi2 <= CHI2_MONO) & (z > 0)
+        chi2, z = chi2_of(T)
+        inl = valid & (chi2 <= chi2_th) & (z > 0)
         active = inl.astype(T_init.dtype)
 
-    r, z, _, _ = _residuals_and_planes(T, pts, uv, K)
-    chi2 = jnp.sum(r * r, axis=-1) * info
-    inliers = valid & (chi2 <= CHI2_MONO) & (z > 0)
+    chi2, z = chi2_of(T)
+    inliers = valid & (chi2 <= chi2_th) & (z > 0)
     return T, inliers, chi2

@@ -44,10 +44,24 @@ class TrackerConfig:
     kf_ref_ratio: float = 0.9     # Tracking.cc:2849 thRefRatio mono
     kf_min_inliers: int = 15
     camera_model: str = "pinhole"  # "pinhole" | "kb8" (rectified keypoints)
+    # ---- stereo / RGB-D (`Frame.cc:149,265`) ----
+    sensor: str = "monocular"     # "monocular" | "stereo" | "rgbd"
+    baseline: float = 0.0         # stereo baseline / RGB-D virtual baseline, m
+    th_depth_ratio: float = 40.0  # close-point depth = ratio * baseline
+                                  # (mThDepth = mbf*ThDepth/fx, Tracking.cc:646)
+    min_init_stereo_points: int = 200  # StereoInitialization gate (ref: 500)
 
     @property
     def max_frames_between_kf(self):
         return int(self.fps)
+
+    @property
+    def depth_sensor(self):
+        return self.sensor in ("stereo", "rgbd")
+
+    @property
+    def th_depth(self):
+        return self.th_depth_ratio * self.baseline
 
 
 class TrackResult(NamedTuple):
@@ -114,10 +128,15 @@ def track_frame(m: map_state.MapState, frame: Frame, T_pred, K, config: TrackerC
     feat1, ok1 = jax.lax.cond(
         jnp.sum(ok1) < 20, _retry, lambda _: (feat1, ok1), operand=None
     )
+    bf = None
+    if frame.ur is not None and config.baseline > 0.0:
+        bf = K[0] * config.baseline
     f1 = jnp.clip(feat1, 0)
     obs_uv = frame.xy[f1]
     obs_sig = sigma2[frame.level[f1]]
-    T1, inl1, _ = pose_opt.pose_optimization(T_pred, m.pt_pos, obs_uv, obs_sig, ok1, K)
+    ur1 = None if bf is None else jnp.where(ok1, frame.ur[f1], -1.0)
+    T1, inl1, _ = pose_opt.pose_optimization(T_pred, m.pt_pos, obs_uv, obs_sig,
+                                             ok1, K, ur=ur1, bf=bf)
     n1 = jnp.sum(inl1)
 
     # ---- stage 2: tight search at refined pose (TrackLocalMap) ----
@@ -130,8 +149,10 @@ def track_frame(m: map_state.MapState, frame: Frame, T_pred, K, config: TrackerC
     okc = feat >= 0
     okc = matching.dedupe_matches(feat, okc, frame.capacity)
     fc2 = jnp.clip(feat, 0)
+    ur2 = None if bf is None else jnp.where(okc, frame.ur[fc2], -1.0)
     T2, inl2, _ = pose_opt.pose_optimization(
-        T1, m.pt_pos, frame.xy[fc2], sigma2[frame.level[fc2]], okc, K
+        T1, m.pt_pos, frame.xy[fc2], sigma2[frame.level[fc2]], okc, K,
+        ur=ur2, bf=bf,
     )
     n2 = jnp.sum(inl2)
 
@@ -147,6 +168,37 @@ def track_frame(m: map_state.MapState, frame: Frame, T_pred, K, config: TrackerC
         T_cw=T2, obs=obs, n_inliers=n2, n_stage1=n1,
         visible=vis2, found=final_ok,
     )
+
+
+@partial(jax.jit, static_argnames=("n_levels", "scale_factor"))
+def create_points_from_depth(m: map_state.MapState, slot, frame: Frame, K,
+                             th_depth, n_levels: int = 8,
+                             scale_factor: float = 1.2):
+    """Unproject frame features with known depth (stereo/RGB-D) that have no
+    map association yet into NEW map points, observed by keyframe `slot`
+    (`Tracking::StereoInitialization` point creation, Tracking.cc:2231, and
+    the close-point creation of `Tracking::CreateNewKeyFrame`,
+    Tracking.cc:3015-3080). Returns (map, n_created)."""
+    T_wc = lie.se3_inv(m.kf_pose[slot])
+    z = frame.depth
+    cand = frame.valid & (z > 0.0) & (z <= th_depth) & (m.kf_obs[slot] < 0)
+    xn = cameras.pinhole_unproject(K, frame.xy)                  # [F,3] z=1
+    Xw = jax.vmap(lambda p: lie.se3_apply(T_wc, p))(xn * z[:, None])
+    n = frame.capacity
+    m, slots = map_state.add_points(
+        m,
+        pos=Xw,
+        desc=frame.desc,
+        normal=jnp.zeros((n, 3), jnp.float32),
+        min_dist=jnp.zeros((n,), jnp.float32),
+        max_dist=jnp.full((n,), 1e9, jnp.float32),
+        ref_kf=slot,
+        valid=cand,
+    )
+    obs_new = jnp.where(slots >= 0, slots, m.kf_obs[slot])
+    m = m._replace(kf_obs=m.kf_obs.at[slot].set(obs_new))
+    m = map_state.update_point_stats(m, n_levels, scale_factor)
+    return m, jnp.sum(slots >= 0)
 
 
 @jax.jit
@@ -251,6 +303,30 @@ class MonocularTracker:
                            camera_model=self.config.camera_model)
         return self.process_frame(frame, timestamp)
 
+    def process_stereo_pair(self, img_l, img_r, timestamp: float):
+        """`System::TrackStereo` equivalent (rectified pair)."""
+        from ..frontend.extractor import make_frame_stereo
+
+        frame = make_frame_stereo(
+            jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
+            self.K, self.dist, self.config.frontend,
+            jnp.float32(self.config.baseline),
+        )
+        return self.process_frame(frame, timestamp)
+
+    def process_rgbd(self, img, depth_map, timestamp: float):
+        """`System::TrackRGBD` equivalent: registered depth in meters (apply
+        the sensor's depth factor before calling, or pass depth_factor via
+        the frontend helper)."""
+        from ..frontend.extractor import make_frame_rgbd
+
+        bf = float(self.K[0]) * self.config.baseline
+        frame = make_frame_rgbd(
+            jnp.asarray(img, jnp.float32), jnp.asarray(depth_map, jnp.float32),
+            self.K, self.dist, self.config.frontend, jnp.float32(bf),
+        )
+        return self.process_frame(frame, timestamp)
+
     # -- visual-inertial input (Tracking::GrabImuData equivalent) -----------
 
     def grab_imu(self, acc, gyro, dts):
@@ -309,7 +385,10 @@ class MonocularTracker:
         self.n_frames += 1
         self._cur_ts = timestamp
         if self.state == NOT_INITIALIZED:
-            pose = self._try_initialize(frame)
+            if self.config.depth_sensor and frame.depth is not None:
+                pose = self._try_initialize_depth(frame)
+            else:
+                pose = self._try_initialize(frame)
         elif self.async_depth > 0 and not self.inertial:
             pose = self._track_pipelined(frame, timestamp)
         else:
@@ -365,6 +444,41 @@ class MonocularTracker:
             self._retire_pipelined()
 
     # -- initialization -----------------------------------------------------
+
+    def _try_initialize_depth(self, frame: Frame):
+        """`Tracking::StereoInitialization` (`Tracking.cc:2194`): one frame
+        with enough valid depth bootstraps the map at true scale — keyframe
+        at identity, points unprojected from the depth channel."""
+        n_depth = int(np.asarray((frame.depth > 0) & frame.valid).sum())
+        if n_depth < self.config.min_init_stereo_points:
+            return None
+        T1 = lie.se3_identity()
+        m, _ = map_state.add_keyframe(
+            self.map, T1, frame.xy, frame.level, frame.angle, frame.desc,
+            frame.valid, jnp.full((frame.capacity,), -1, jnp.int32),
+            ur=frame.ur,
+        )
+        m, _ = create_points_from_depth(
+            m, jnp.int32(0), frame, self.K, jnp.float32(1e9),
+            self.config.frontend.n_levels, self.config.frontend.scale_factor,
+        )
+        self.map = m
+        self.n_kf_host = 1
+        self.meta.kf_uuid[0] = self.meta.new_uuids(1)[0]
+        self.meta.kf_creator[0] = self.meta.agent_id
+        self.meta_dirty = True
+        self.flush_meta()
+        self.last_pose = T1
+        self.velocity = lie.se3_identity()
+        self.last_kf_slot = 0
+        self.kf_timestamps[0] = self._cur_ts
+        self.ref_kf_tracked = n_depth
+        self.frames_since_kf = 0
+        self.state = OK
+        self._last_good_ts = self._cur_ts
+        if self.local_mapper is not None:
+            self.local_mapper.on_initial_map(self)
+        return T1
 
     def _try_initialize(self, frame: Frame):
         if self.init_frame is None or int(frame.valid.sum()) <= self.config.min_init_matches:
@@ -595,11 +709,13 @@ class MonocularTracker:
             self.relocalizer.reset(cfg.kf_cap)
 
     def _need_new_keyframe(self, n_inliers: int):
-        """`Tracking::NeedNewKeyFrame` mono gates (`Tracking.cc:2770`)."""
-        if self.map.n_kf >= self.config.kf_cap - 1:
+        """`Tracking::NeedNewKeyFrame` gates (`Tracking.cc:2770`); thRefRatio
+        is 0.9 mono / 0.75 with a depth sensor (`Tracking.cc:2845`)."""
+        if self.n_kf_host >= self.config.kf_cap - 1:
             return False
+        ratio = 0.75 if self.config.depth_sensor else self.config.kf_ref_ratio
         c1 = self.frames_since_kf >= self.config.max_frames_between_kf
-        c2 = n_inliers < self.config.kf_ref_ratio * max(self.ref_kf_tracked, 1)
+        c2 = n_inliers < ratio * max(self.ref_kf_tracked, 1)
         c3 = n_inliers > self.config.kf_min_inliers
         return (c1 or c2) and c3
 
@@ -607,7 +723,17 @@ class MonocularTracker:
         m, slot = map_state.add_keyframe(
             self.map, res.T_cw, frame.xy, frame.level, frame.angle,
             frame.desc, frame.valid, res.obs,
+            ur=frame.ur if self.config.depth_sensor else None,
         )
+        if self.config.depth_sensor and frame.depth is not None:
+            # close-point creation from the depth channel (Tracking.cc:3015)
+            m, _ = create_points_from_depth(
+                m, jnp.int32(self.n_kf_host), frame, self.K,
+                jnp.float32(self.config.th_depth),
+                self.config.frontend.n_levels,
+                self.config.frontend.scale_factor,
+            )
+            self.meta_dirty = True
         self.map = m
         # keyframes are append-only: the slot is known host-side without a
         # device readback (n_kf_host is resynced on merge/splice paths)

@@ -145,3 +145,74 @@ class TestPoseGraph:
         pairs = set(zip(ei.tolist(), ej.tolist()))
         assert (0, 1) in pairs and (1, 2) in pairs and (0, 4) in pairs
         assert (2, 3) in pairs and (3, 4) in pairs
+
+
+class TestPoseGraph4DoF:
+    def _chain_se3(self, n=10):
+        poses = []
+        for i in range(n):
+            T_wc = lie.se3(
+                lie.so3_exp(jnp.array([0.0, 0.0, 0.06 * i])),  # yaw only
+                jnp.array([0.5 * i, 0.1 * i, 0.0]),
+            )
+            poses.append(lie.se3_inv(T_wc))
+        return jnp.stack(poses)
+
+    def test_yaw_translation_loop_correction(self, rng):
+        """`OptimizeEssentialGraph4DoF` (Optimizer.cc:4940): yaw+translation
+        drift is corrected; roll/pitch stay untouched."""
+        n = 10
+        gt = self._chain_se3(n)
+        ei = np.arange(n - 1, dtype=np.int32)
+        ej = np.arange(1, n, dtype=np.int32)
+        meas = jax.vmap(lambda i, j: lie.se3_mul(gt[i], lie.se3_inv(gt[j])))(
+            jnp.asarray(ei), jnp.asarray(ej)
+        )
+        # drift only in the observable dims (translation + yaw)
+        drift = [np.asarray(gt[0])]
+        for i in range(n - 1):
+            tang = np.zeros(6, np.float32)
+            tang[:3] = rng.randn(3) * 0.04
+            tang[5] = rng.randn() * 0.02
+            noise = lie.se3_exp(jnp.asarray(tang))
+            step = lie.se3_mul(noise, lie.se3_mul(gt[i], lie.se3_inv(gt[i + 1])))
+            drift.append(np.asarray(
+                lie.se3_mul(lie.se3_inv(step), jnp.asarray(drift[-1]))
+            ))
+        est = jnp.asarray(np.stack(drift))
+        ei_all = jnp.asarray(np.concatenate([ei, [n - 1]]).astype(np.int32))
+        ej_all = jnp.asarray(np.concatenate([ej, [0]]).astype(np.int32))
+        loop = lie.se3_mul(gt[n - 1], lie.se3_inv(gt[0]))
+        meas_all = jnp.concatenate([meas, loop[None]])
+        fixed = jnp.asarray([True] + [False] * (n - 1))
+        emask = jnp.ones(n, bool)
+
+        opt, cost = pose_graph.optimize_pose_graph_4dof(
+            est, fixed, ei_all, ej_all, meas_all, emask, iters=25
+        )
+        err_t = np.abs(np.asarray(lie.se3_t(opt)) - np.asarray(lie.se3_t(gt))).max()
+        assert err_t < 0.15, err_t
+        assert float(cost) < 1e-3
+
+
+class TestMarginalize:
+    def test_schur_prior_matches_direct_solution(self, rng):
+        """Marginalizing x_m out of a quadratic and solving the remainder
+        equals the joint solve restricted to the kept block
+        (`Optimizer::Marginalize`, Optimizer.cc:2744)."""
+        from dvm_slam_tpu.mapping import inertial
+
+        D, s, e = 12, 3, 7
+        A = rng.randn(D, D + 4).astype(np.float32)
+        H = jnp.asarray(A @ A.T + 0.5 * np.eye(D, dtype=np.float32))
+        b = jnp.asarray(rng.randn(D).astype(np.float32))
+        Hm, bm = inertial.marginalize(H, b, s, e)
+        # direct joint solution
+        x = np.linalg.solve(np.asarray(H), -np.asarray(b))
+        ki = np.concatenate([np.arange(0, s), np.arange(e, D)])
+        # solve the marginalized system on the kept block
+        xk = np.linalg.solve(np.asarray(Hm)[np.ix_(ki, ki)],
+                             -np.asarray(bm)[ki])
+        assert np.allclose(xk, x[ki], atol=1e-3)
+        # marginalized rows/cols are zeroed in the re-embedded system
+        assert np.allclose(np.asarray(Hm)[s:e], 0.0)
