@@ -159,6 +159,58 @@ def run_dataset(dataset_root, fmt="euroc", settings_path=None, n_agents=2,
     return evaluate(out_dir) if gt_path else {"run_dir": out_dir}
 
 
+def run_dataset_sensor(dataset_root, sensor="stereo", settings_path=None,
+                       out_dir="out_sensor", max_frames=None, gt_path=None):
+    """Single-agent stereo / RGB-D dataset replay through the System facade
+    (the reference's `ros_stereo`/`ros_rgbd` executables' role): EuRoC
+    cam0+cam1 for stereo, TUM rgb+depth for rgbd. Metric ATE is evaluated
+    WITHOUT scale alignment — depth sensors must deliver true scale."""
+    from ..eval import metrics
+    from ..io import config as config_mod, datasets, trajectory as traj_mod
+    from ..models.system import System
+
+    os.makedirs(out_dir, exist_ok=True)
+    settings = config_mod.load_settings(settings_path)
+    system = System(settings, sensor=sensor)
+    if sensor == "stereo":
+        seq = datasets.load_euroc_stereo(dataset_root)
+    elif sensor == "rgbd":
+        seq = datasets.load_tum_rgbd(dataset_root)
+    else:
+        raise ValueError(f"run_dataset_sensor: unknown sensor {sensor!r}")
+
+    n = len(seq) if max_frames is None else min(len(seq), max_frames)
+    t0 = seq.stamps[0]
+    rows = []
+    for i in range(n):
+        ts, a, b = seq[i]
+        if sensor == "stereo":
+            pose = system.track_stereo(a, b, ts - t0)
+        else:
+            pose = system.track_rgbd(a, b, ts - t0)
+        if pose is not None:
+            rows.append((ts, np.asarray(pose)))
+    system.save_trajectory_tum(os.path.join(out_dir, "trajectory.txt"))
+    report = {"sensor": sensor, "frames": len(rows),
+              "state": system.get_tracking_state(),
+              "n_keyframes": system.tracker.n_kf_host}
+    if gt_path and len(rows) >= 3:
+        gt_stamps, gt_all = datasets.load_groundtruth_tum(gt_path)
+        est, gtp = [], []
+        for ts, e in rows:
+            j = int(np.argmin(np.abs(gt_stamps - ts)))
+            if abs(gt_stamps[j] - ts) < 0.05:
+                est.append(e)
+                gtp.append(gt_all[j])
+        if len(est) >= 3:
+            rmse, _, _ = metrics.ate_rmse(np.stack(est), np.stack(gtp),
+                                          correct_scale=False)
+            report["ate_rmse_metric_m"] = rmse
+    with open(os.path.join(out_dir, "evaluation.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    return report
+
+
 def record_run(out_dir, agents, bus, gt):
     """Record trajectories + transmission stats (the rosbag record set)."""
     from ..io import trajectory as traj_mod, viz
@@ -217,6 +269,13 @@ def main(argv=None):
     pd.add_argument("--out", default="out_dataset")
     pd.add_argument("--max-frames", type=int, default=None)
     pd.add_argument("--gt", default=None, help="TUM-format ground truth")
+    px = sub.add_parser("run-sensor", help="single-agent stereo/RGB-D replay")
+    px.add_argument("--root", required=True)
+    px.add_argument("--sensor", default="stereo", choices=["stereo", "rgbd"])
+    px.add_argument("--settings", required=True)
+    px.add_argument("--out", default="out_sensor")
+    px.add_argument("--max-frames", type=int, default=None)
+    px.add_argument("--gt", default=None)
     pe = sub.add_parser("evaluate")
     pe.add_argument("--run-dir", required=True)
     args = p.parse_args(argv)
@@ -227,6 +286,10 @@ def main(argv=None):
         rep = run_dataset(args.root, fmt=args.format, settings_path=args.settings,
                           n_agents=args.agents, out_dir=args.out,
                           max_frames=args.max_frames, gt_path=args.gt)
+    elif args.cmd == "run-sensor":
+        rep = run_dataset_sensor(args.root, sensor=args.sensor,
+                                 settings_path=args.settings, out_dir=args.out,
+                                 max_frames=args.max_frames, gt_path=args.gt)
     else:
         rep = evaluate(args.run_dir)
     print(json.dumps(rep, indent=2))

@@ -168,3 +168,65 @@ class TestStereoSystemFacade:
         st = config_mod.SystemSettings()
         with pytest.raises(ValueError):
             System(st, sensor="stereo")
+
+
+class TestStereoConsoleReplay:
+    @pytest.mark.slow
+    def test_run_sensor_stereo_euroc_layout(self, world, fc, tmp_path):
+        """console run-sensor: EuRoC-layout cam0/cam1 dirs rendered from the
+        synthetic world -> System stereo replay -> metric (unscaled) ATE."""
+        import csv as _csv
+
+        from PIL import Image
+
+        from dvm_slam_tpu.tools import console
+
+        root = tmp_path / "seq"
+        poses = synthetic.smooth_trajectory(12, lateral=1.4, forward=0.4,
+                                            yaw=0.05)
+        Kj = jnp.asarray(K)
+        gt_rows = []
+        for cam in ("cam0", "cam1"):
+            d = root / "mav0" / cam / "data"
+            d.mkdir(parents=True)
+            rows = []
+            for i, p in enumerate(poses):
+                ts_ns = int(1e9 * (100 + i * 0.1))
+                Tj = jnp.asarray(p)
+                il, ir = world.render_stereo(Tj, Kj, H, W, BASELINE)
+                img = il if cam == "cam0" else ir
+                name = f"{ts_ns}.png"
+                Image.fromarray(np.asarray(img).astype(np.uint8)).save(
+                    str(d / name))
+                rows.append((ts_ns, name))
+                if cam == "cam0":
+                    T_wc = lie.se3_inv(Tj)
+                    q = np.asarray(T_wc[:4])
+                    t = np.asarray(T_wc[4:])
+                    gt_rows.append(
+                        (ts_ns * 1e-9, *t, q[1], q[2], q[3], q[0]))
+            with open(root / "mav0" / cam / "data.csv", "w", newline="") as f:
+                w = _csv.writer(f)
+                for r in rows:
+                    w.writerow(r)
+        gt_path = root / "gt_tum.txt"
+        with open(gt_path, "w") as f:
+            for r in gt_rows:
+                f.write(" ".join(str(x) for x in r) + "\n")
+        settings = root / "settings.yaml"
+        settings.write_text(
+            "camera:\n"
+            f"  fx: {K[0]}\n  fy: {K[1]}\n  cx: {K[2]}\n  cy: {K[3]}\n"
+            f"  width: {W}\n  height: {H}\n"
+            "  dist: [0.0, 0.0, 0.0, 0.0]\n"
+            "  fps: 10.0\n"
+            f"  baseline: {BASELINE}\n"
+            "orb:\n  n_features: 600\n  n_levels: 4\n"
+            "kf_capacity: 16\npt_capacity: 4096\n"
+        )
+        rep = console.run_dataset_sensor(
+            str(root), sensor="stereo", settings_path=str(settings),
+            out_dir=str(tmp_path / "out"), gt_path=str(gt_path),
+        )
+        assert rep["frames"] >= 10, rep
+        assert rep["ate_rmse_metric_m"] < 0.35, rep
