@@ -32,10 +32,14 @@ MAX_MISSES = 2            # :462,501
 
 
 class LoopDetector:
-    def __init__(self, voc, K, correct: bool = False):
+    def __init__(self, voc, K, correct: bool = False,
+                 fix_scale: bool = False):
         self.voc = voc
         self.K = jnp.asarray(K)
         self.correct = correct
+        # stereo/RGB-D/inertial maps are metric: loop Sim3 solved at s=1
+        # (`LoopClosing.cc:785` mbFixScale)
+        self.fix_scale = fix_scale
         self.triggers = []           # recorded trigger uuids (Atlas set)
         self._streak_target = None   # candidate region anchor kf
         self._streak = 0
@@ -61,7 +65,8 @@ class LoopDetector:
 
         self.key, sub = jax.random.split(self.key)
         res = merge_mod.compute_sim3_between(
-            sub, m, jnp.int32(kf_slot), m, jnp.int32(cand0), self.K
+            sub, m, jnp.int32(kf_slot), m, jnp.int32(cand0), self.K,
+            with_scale=not self.fix_scale,
         )
         if not bool(res.ok):
             self._note_miss()

@@ -42,10 +42,15 @@ class Sim3Result(NamedTuple):
     n_proj: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("with_scale",))
 def compute_sim3_between(key, mA: map_state.MapState, kfA,
-                         mB: map_state.MapState, kfB, K):
+                         mB: map_state.MapState, kfB, K,
+                         with_scale: bool = True):
     """Estimate S_ab from one candidate keyframe pair.
+
+    with_scale=False fixes s=1 (the reference's `Sim3Solver` bFixScale for
+    stereo/RGB-D/inertial maps whose scale is observable,
+    `LoopClosing.cc:785`).
 
     Mirrors `DetectCommonRegionsFromBoW`'s verification chain: descriptor
     matching between the two keyframes' map points (the BoW direct index is
@@ -86,7 +91,7 @@ def compute_sim3_between(key, mA: map_state.MapState, kfA,
     sigB = (1.2 ** mB.kf_level[kfB, j].astype(jnp.float32)) ** 2
 
     S12, inl, n_inl = sim3_solver.ransac_sim3(
-        key, pcA, pcB, uvA, uvB, sigA, sigB, ok, K
+        key, pcA, pcB, uvA, uvB, sigA, sigB, ok, K, with_scale=with_scale
     )  # camB coords -> camA coords
 
     # ---- guided projection: all B points near kfB into kfA through S12 ----
@@ -118,7 +123,7 @@ def compute_sim3_between(key, mA: map_state.MapState, kfA,
     src = jnp.concatenate([pcB, XB_all_cb])      # camB coords
     dst = jnp.concatenate([pcA, XA2])            # camA coords
     w = jnp.concatenate([inl, strong]).astype(pcA.dtype)
-    S_ref = alignment.umeyama(src, dst, mask=w)
+    S_ref = alignment.umeyama(src, dst, mask=w, with_scale=with_scale)
     use_ref = n_proj >= N_PROJ_MATCHES
     S12f = jnp.where(use_ref, S_ref, S12)
 

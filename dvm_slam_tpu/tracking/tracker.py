@@ -201,6 +201,121 @@ def create_points_from_depth(m: map_state.MapState, slot, frame: Frame, K,
     return m, jnp.sum(slots >= 0)
 
 
+@partial(jax.jit, static_argnames=("config",))
+def make_and_track(img, m: map_state.MapState, T_pred, K, dist,
+                   config: TrackerConfig):
+    """Fused per-frame step: ORB extraction + two-stage tracking in ONE
+    device dispatch. On the axon tunnel each dispatch carries ~1.5-3 ms of
+    relay round-trip once any D2H has happened in the process; fusing the
+    two per-frame calls halves that fixed cost (and lets XLA share the
+    image pyramid layout with the matcher's reads)."""
+    from ..frontend.extractor import make_frame
+
+    frame = make_frame(img, K, dist, config.frontend,
+                       camera_model=config.camera_model)
+    res = track_frame(m, frame, T_pred, K, config)
+    # visibility counters folded in (gated device-side on a good track), so
+    # the host applies them as a zero-dispatch pytree swap
+    good = res.n_inliers >= config.min_track_inliers
+    pt_visible = m.pt_visible + (res.visible & good).astype(jnp.int32)
+    pt_found = m.pt_found + (res.found & good).astype(jnp.int32)
+    return frame, res, pt_visible, pt_found
+
+
+class AutoState(NamedTuple):
+    """Device-resident tracker continuation for the autonomous step."""
+
+    T_cw: jnp.ndarray        # [7] last pose
+    velocity: jnp.ndarray    # [7] motion model
+    frames_since_kf: jnp.ndarray  # [] int32
+    ref_tracked: jnp.ndarray      # [] int32 inliers at last keyframe
+    kf_count: jnp.ndarray         # [] int32 keyframes created (device)
+
+
+class AutoFlags(NamedTuple):
+    """Per-frame outcome flags (read back asynchronously, frames late)."""
+
+    n_inliers: jnp.ndarray   # [] int32
+    made_kf: jnp.ndarray     # [] bool
+    good: jnp.ndarray        # [] bool
+
+
+@partial(jax.jit, static_argnames=("config", "mapper_cfg"))
+def autonomous_step(img, m: map_state.MapState, st: AutoState, K, dist,
+                    config: TrackerConfig, mapper_cfg: tuple):
+    """One FULLY device-side SLAM frame: extract + track + visibility +
+    keyframe decision + (conditional) keyframe insertion with the whole
+    mapper chain — zero host round-trips.
+
+    This is the TPU-native form of the reference's tracking/local-mapping
+    thread overlap (`System.cc:209,226`): instead of a mapping thread, the
+    keyframe branch runs under `lax.cond` inside the same dispatch, so the
+    host can stream frames without ever blocking on a decision. Outcome
+    flags are read back asynchronously several frames late, which only
+    delays host-side bookkeeping (timestamps/uuids/state machine), never
+    the map itself.
+
+    mapper_cfg: (n_neighbors, n_levels, scale_factor, ba_local, ba_fixed,
+    ba_pts, ba_iters, run_ba_every).
+    """
+    from ..mapping.local_mapping import _mapper_chain
+
+    (n_neighbors, n_levels, scale_factor,
+     ba_local, ba_fixed, ba_pts, ba_iters, run_ba_every) = mapper_cfg
+    from ..frontend.extractor import make_frame
+
+    frame = make_frame(img, K, dist, config.frontend,
+                       camera_model=config.camera_model)
+    T_pred = lie.se3_mul(st.velocity, st.T_cw)
+    res = track_frame(m, frame, T_pred, K, config)
+    good = res.n_inliers >= config.min_track_inliers
+    # motion model / pose chain (identity reset on a bad frame, like the
+    # host state machine's RECENTLY_LOST handling)
+    T2 = jnp.where(good, res.T_cw, st.T_cw)
+    vel2 = jnp.where(good, lie.se3_mul(res.T_cw, lie.se3_inv(st.T_cw)),
+                     lie.se3_identity())
+    m = m._replace(
+        pt_visible=m.pt_visible + (res.visible & good).astype(jnp.int32),
+        pt_found=m.pt_found + (res.found & good).astype(jnp.int32),
+    )
+    fsk = jnp.where(good, st.frames_since_kf + 1, st.frames_since_kf)
+
+    ratio = 0.75 if config.depth_sensor else config.kf_ref_ratio
+    need_kf = (
+        good
+        & ((fsk >= config.max_frames_between_kf)
+           | (res.n_inliers < jnp.int32(jnp.maximum(
+               ratio * st.ref_tracked.astype(jnp.float32), 1.0))))
+        & (res.n_inliers > config.kf_min_inliers)
+        & (m.n_kf < config.kf_cap - 1)
+    )
+
+    def kf_branch(mm):
+        mm, slot = map_state.add_keyframe(
+            mm, res.T_cw, frame.xy, frame.level, frame.angle, frame.desc,
+            frame.valid, res.obs,
+            ur=frame.ur if config.depth_sensor else None,
+        )
+        run_ba = (st.kf_count + 1) % run_ba_every == 0
+        bf = (K[0] * config.baseline) if config.depth_sensor else None
+        return _mapper_chain(
+            mm, slot, K, n_neighbors=n_neighbors, n_levels=n_levels,
+            scale_factor=scale_factor, run_ba_traced=run_ba,
+            ba_local=ba_local, ba_fixed=ba_fixed, ba_pts=ba_pts,
+            ba_iters=ba_iters, bf=bf,
+        )
+
+    m = jax.lax.cond(need_kf, kf_branch, lambda mm: mm, m)
+    st2 = AutoState(
+        T_cw=T2, velocity=vel2,
+        frames_since_kf=jnp.where(need_kf, 0, fsk).astype(jnp.int32),
+        ref_tracked=jnp.where(need_kf, res.n_inliers, st.ref_tracked),
+        kf_count=st.kf_count + need_kf.astype(jnp.int32),
+    )
+    return m, st2, AutoFlags(n_inliers=res.n_inliers, made_kf=need_kf,
+                             good=good)
+
+
 @jax.jit
 def update_visibility(m: map_state.MapState, visible, found):
     """`MapPoint::IncreaseVisible/IncreaseFound` counters for culling."""
@@ -278,6 +393,11 @@ class MonocularTracker:
         # round-trip on every frame. Visual-only (IMU mode stays sync).
         self.async_depth = 0
         self._pipeline = []      # [(timestamp, frame, res)] pending frames
+        # --- device-autonomous mode (enter_autonomous): keyframe decision
+        # and mapper chain run on-device; flags retire async_depth late
+        self.autonomous = False
+        self._auto_state = None
+        self._auto_flags = []
 
     def flush_meta(self):
         """Assign uuids to points the (asynchronously dispatched) mapper
@@ -297,11 +417,28 @@ class MonocularTracker:
 
     def process_image(self, img, timestamp: float):
         """`System::TrackMonocular` equivalent: grayscale [H,W] float32 in,
-        camera pose out (None until initialized)."""
-        frame = make_frame(jnp.asarray(img, jnp.float32), self.K, self.dist,
-                           self.config.frontend,
-                           camera_model=self.config.camera_model)
-        return self.process_frame(frame, timestamp)
+        camera pose out (None until initialized). Initialized visual frames
+        take the fused extract+track dispatch (`make_and_track`)."""
+        img = jnp.asarray(img, jnp.float32)
+        if self.state == NOT_INITIALIZED:
+            frame = make_frame(img, self.K, self.dist, self.config.frontend,
+                               camera_model=self.config.camera_model)
+            return self.process_frame(frame, timestamp)
+        self.n_frames += 1
+        self._cur_ts = timestamp
+        if getattr(self, "autonomous", False):
+            return self._process_autonomous(img, timestamp)
+        T_pred, v_pred = self._predict_pose()
+        frame, res, pv, pf = make_and_track(img, self.map, T_pred, self.K,
+                                            self.dist, self.config)
+        if self.async_depth > 0 and not self.inertial:
+            pose = self._pipeline_push(frame, timestamp, res, vis=(pv, pf))
+        else:
+            pose = self._track_resolve(frame, timestamp, T_pred, v_pred, res,
+                                       vis=(pv, pf))
+        if pose is not None:
+            self.trajectory.append((timestamp, pose, self.state))
+        return pose
 
     def process_stereo_pair(self, img_l, img_r, timestamp: float):
         """`System::TrackStereo` equivalent (rectified pair)."""
@@ -406,12 +543,15 @@ class MonocularTracker:
         # dispatch this frame against the freshest device-side pose chain
         T_pred = lie.se3_mul(self.velocity, self.last_pose)
         res = track_frame(self.map, frame, T_pred, self.K, self.config)
+        return self._pipeline_push(frame, timestamp, res)
+
+    def _pipeline_push(self, frame: Frame, timestamp: float, res, vis=None):
         res.n_inliers.copy_to_host_async()  # overlap the D2H readback
         # device-future chain: prediction stays per-frame fresh even though
         # the host decision lags
         self.velocity = lie.se3_mul(res.T_cw, lie.se3_inv(self.last_pose))
         self.last_pose = res.T_cw
-        self._pipeline.append((timestamp, frame, res))
+        self._pipeline.append((timestamp, frame, res, vis))
         if len(self._pipeline) > self.async_depth:
             self._retire_pipelined()
         return res.T_cw
@@ -419,7 +559,7 @@ class MonocularTracker:
     def _retire_pipelined(self):
         """Resolve the oldest in-flight frame and run its host-side state
         machine (lost handling, visibility counters, keyframe decision)."""
-        ts, frame, res = self._pipeline.pop(0)
+        ts, frame, res, vis = self._pipeline.pop(0)
         n_inl = int(res.n_inliers)  # readback started at dispatch time
         if n_inl < self.config.min_track_inliers:
             self.state = RECENTLY_LOST if self.state == OK else LOST
@@ -433,7 +573,10 @@ class MonocularTracker:
         self._lost_frames = 0
         self.state = OK
         self._last_good_ts = ts
-        self.map = update_visibility(self.map, res.visible, res.found)
+        if vis is not None:
+            self.map = self.map._replace(pt_visible=vis[0], pt_found=vis[1])
+        else:
+            self.map = update_visibility(self.map, res.visible, res.found)
         self.frames_since_kf += 1
         if self._need_new_keyframe(n_inl):
             self._create_keyframe(frame, res)
@@ -442,6 +585,101 @@ class MonocularTracker:
         """Drain all in-flight frames (sequence end / before map export)."""
         while self._pipeline:
             self._retire_pipelined()
+
+    # -- device-autonomous mode (zero per-frame host syncs) -----------------
+
+    def enter_autonomous(self):
+        """Switch steady-state tracking to the fully device-side step
+        (`autonomous_step`): keyframe decision + mapper chain run under
+        `lax.cond` inside the per-frame dispatch, host bookkeeping catches
+        up from async flag readbacks `async_depth` frames later. Requires
+        an initialized visual (non-inertial) tracker."""
+        if self.state != OK or self.inertial:
+            return False
+        fc = self.config.frontend
+        mc = self.local_mapper
+        self._auto_cfg = (
+            mc.n_neighbors, fc.n_levels, fc.scale_factor,
+            mc.ba_local, mc.ba_fixed, mc.ba_pts, mc.ba_iters,
+            mc.run_ba_every,
+        )
+        self._auto_state = AutoState(
+            T_cw=jnp.asarray(self.last_pose),
+            velocity=jnp.asarray(self.velocity),
+            frames_since_kf=jnp.int32(self.frames_since_kf),
+            ref_tracked=jnp.int32(max(self.ref_kf_tracked, 1)),
+            kf_count=jnp.int32(mc._kf_count),
+        )
+        self._auto_flags = []
+        self.autonomous = True
+        return True
+
+    def _process_autonomous(self, img, timestamp: float):
+        m, st, flags = autonomous_step(
+            jnp.asarray(img, jnp.float32), self.map, self._auto_state,
+            self.K, self.dist, self.config, self._auto_cfg,
+        )
+        self.map = m
+        self._auto_state = st
+        for leaf in flags:
+            leaf.copy_to_host_async()
+        self._auto_flags.append((timestamp, flags))
+        while len(self._auto_flags) > max(self.async_depth, 1) and self.autonomous:
+            self._retire_auto()
+        self.trajectory.append((timestamp, st.T_cw, self.state))
+        return st.T_cw
+
+    def _retire_auto(self):
+        ts, flags = self._auto_flags.pop(0)
+        if bool(flags.made_kf):
+            s = self.n_kf_host
+            self.n_kf_host += 1
+            self.meta.kf_uuid[s] = self.meta.new_uuids(1)[0]
+            self.meta.kf_creator[s] = self.meta.agent_id
+            self.last_kf_slot = s
+            self.kf_timestamps[s] = ts
+            self.ref_kf_tracked = int(flags.n_inliers)
+            self.meta_dirty = True
+            if self.local_mapper is not None:
+                self.local_mapper._kf_count += 1
+        if not bool(flags.good):
+            self._lost_frames += 1
+            self.state = RECENTLY_LOST if self.state == OK else LOST
+            # hand control back to the host state machine (reloc / atlas)
+            self.exit_autonomous(drain=False)
+        else:
+            self._lost_frames = 0
+            self.state = OK
+            self._last_good_ts = ts
+
+    def exit_autonomous(self, drain: bool = True):
+        """Leave autonomous mode, folding device state back into the host
+        mirrors. With drain=True all pending flags retire first."""
+        if not getattr(self, "autonomous", False):
+            return
+        self.autonomous = False
+        if drain:
+            while self._auto_flags:
+                ts, flags = self._auto_flags.pop(0)
+                if bool(flags.made_kf):
+                    s = self.n_kf_host
+                    self.n_kf_host += 1
+                    self.meta.kf_uuid[s] = self.meta.new_uuids(1)[0]
+                    self.meta.kf_creator[s] = self.meta.agent_id
+                    self.last_kf_slot = s
+                    self.kf_timestamps[s] = ts
+                    self.ref_kf_tracked = int(flags.n_inliers)
+                    self.meta_dirty = True
+                    if self.local_mapper is not None:
+                        self.local_mapper._kf_count += 1
+                if bool(flags.good):
+                    self._last_good_ts = ts
+        else:
+            self._auto_flags = []
+        st = self._auto_state
+        self.last_pose = st.T_cw
+        self.velocity = st.velocity
+        self.frames_since_kf = int(st.frames_since_kf)
 
     # -- initialization -----------------------------------------------------
 
@@ -583,7 +821,8 @@ class MonocularTracker:
 
     # -- steady-state tracking ----------------------------------------------
 
-    def _track(self, frame: Frame, timestamp: float):
+    def _predict_pose(self):
+        """Motion-model or IMU pose prediction for the next frame."""
         v_pred = None
         T_pred = None
         if self.inertial and self.imu_initialized:
@@ -592,7 +831,15 @@ class MonocularTracker:
                 T_pred, v_pred = out
         if T_pred is None:
             T_pred = lie.se3_mul(self.velocity, self.last_pose)
+        return T_pred, v_pred
+
+    def _track(self, frame: Frame, timestamp: float):
+        T_pred, v_pred = self._predict_pose()
         res = track_frame(self.map, frame, T_pred, self.K, self.config)
+        return self._track_resolve(frame, timestamp, T_pred, v_pred, res)
+
+    def _track_resolve(self, frame: Frame, timestamp: float, T_pred, v_pred,
+                       res: TrackResult, vis=None):
         n_inl = int(res.n_inliers)
 
         if n_inl < self.config.min_track_inliers:
@@ -636,7 +883,10 @@ class MonocularTracker:
         self._lost_frames = 0
         self.state = OK
         self._last_good_ts = timestamp
-        self.map = update_visibility(self.map, res.visible, res.found)
+        if vis is not None:
+            self.map = self.map._replace(pt_visible=vis[0], pt_found=vis[1])
+        else:
+            self.map = update_visibility(self.map, res.visible, res.found)
         self.velocity = lie.se3_mul(res.T_cw, lie.se3_inv(self.last_pose))
         if self.inertial and v_pred is not None:
             self.vel_w = v_pred  # IMU-propagated velocity at the new pose
@@ -646,6 +896,11 @@ class MonocularTracker:
 
         if self._need_new_keyframe(n_inl):
             self._create_keyframe(frame, res)
+            # keyframe creation may have re-based the world (IMU init /
+            # scale refinement / atlas merge-back): last_pose carries the
+            # post-rebase pose — returning the stale res.T_cw would emit
+            # one pose in the old frame
+            return self.last_pose
         return res.T_cw
 
     def apply_world_sim3(self, S):

@@ -115,3 +115,80 @@ class TestEndToEndTracking:
         out = t.process_image(black, 99.0)
         assert out is None
         assert t.state in (tracker.RECENTLY_LOST, tracker.LOST)
+
+
+class TestAutonomousMode:
+    """Device-autonomous tracking (`tracker.autonomous_step`): keyframe
+    decision + mapper chain under lax.cond on device, host bookkeeping
+    catching up from async flag readbacks (the TPU-native 3-thread
+    overlap, `System.cc:209,226`)."""
+
+    H, W = 240, 320
+    K = np.asarray([260.0, 260.0, 160.0, 120.0], np.float32)
+
+    def test_autonomous_matches_host_bookkeeping(self, world):
+        from dvm_slam_tpu.mapping import local_mapping
+
+        cfg = tracker.TrackerConfig(
+            frontend=FrontendConfig(height=self.H, width=self.W,
+                                    n_features=600, n_levels=4),
+            kf_cap=64, pt_cap=4096, fps=10.0,
+        )
+        mapper = local_mapping.LocalMapper(n_neighbors=4, ba_local=8,
+                                           ba_fixed=4, ba_pts=2048,
+                                           ba_iters=4)
+        t = tracker.MonocularTracker(cfg, self.K, np.zeros(4, np.float32),
+                                     local_mapper=mapper)
+        poses = synthetic.smooth_trajectory(36, lateral=2.0, forward=0.5,
+                                            yaw=0.08)
+        Kj = jnp.asarray(self.K)
+        entered = False
+        for i, p in enumerate(poses):
+            img = np.asarray(world.render(jnp.asarray(p), Kj, self.H, self.W))
+            t.process_image(img, i * 0.1)
+            if not entered and t.state == tracker.OK and i >= 10:
+                t.async_depth = 3
+                entered = t.enter_autonomous()
+        assert entered
+        t.exit_autonomous()
+        t.flush_meta()
+        assert t.state == tracker.OK
+        # host keyframe mirror stayed consistent with the device map
+        assert t.n_kf_host == int(t.map.n_kf)
+        assert t.n_kf_host >= 4
+        # uuids assigned for every keyframe created on-device
+        assert (t.meta.kf_uuid[:t.n_kf_host].sum(axis=1) != 0).all()
+        # timestamps recorded for autonomous keyframes too
+        assert set(t.kf_timestamps) == set(range(t.n_kf_host))
+        assert int(np.asarray(t.map.pt_valid).sum()) > 150
+
+    def test_autonomous_hands_back_on_lost(self, world):
+        from dvm_slam_tpu.mapping import local_mapping
+
+        cfg = tracker.TrackerConfig(
+            frontend=FrontendConfig(height=self.H, width=self.W,
+                                    n_features=600, n_levels=4),
+            kf_cap=64, pt_cap=4096, fps=10.0,
+        )
+        mapper = local_mapping.LocalMapper(n_neighbors=4, ba_local=8,
+                                           ba_fixed=4, ba_pts=2048,
+                                           ba_iters=4)
+        t = tracker.MonocularTracker(cfg, self.K, np.zeros(4, np.float32),
+                                     local_mapper=mapper)
+        poses = synthetic.smooth_trajectory(16, lateral=2.0, forward=0.5,
+                                            yaw=0.08)
+        Kj = jnp.asarray(self.K)
+        for i, p in enumerate(poses):
+            img = np.asarray(world.render(jnp.asarray(p), Kj, self.H, self.W))
+            t.process_image(img, i * 0.1)
+        assert t.state == tracker.OK
+        t.async_depth = 2
+        assert t.enter_autonomous()
+        black = np.zeros((self.H, self.W), np.float32)
+        for j in range(6):
+            t.process_image(black, 10.0 + j * 0.1)
+            if not t.autonomous:
+                break
+        # the lost flag must hand control back to the host state machine
+        assert not t.autonomous
+        assert t.state in (tracker.RECENTLY_LOST, tracker.LOST)

@@ -187,6 +187,7 @@ class TestViEndToEnd:
         blank = np.zeros((240, 320), np.float32)
         out_poses = {}
         blank_span = range(34, 40)
+        init_at = None
         for i in range(n):
             acc, gyr, dts = chunks[i]
             img = (blank if i in blank_span
@@ -194,6 +195,8 @@ class TestViEndToEnd:
             p = sys.track_monocular_inertial(img, i * 0.1, acc, gyr, dts)
             if p is not None:
                 out_poses[i] = np.asarray(p)
+            if init_at is None and sys.is_imu_initialized():
+                init_at = i
         assert sys.is_imu_initialized(), "IMU never initialized"
         # textureless span: dead reckoning kept producing poses
         for i in blank_span:
@@ -202,11 +205,22 @@ class TestViEndToEnd:
         assert sys.get_tracking_state() == "OK"
         # metric scale: compare camera-center displacement against ground
         # truth over the post-init segment (visual-only would be off by the
-        # arbitrary monocular init scale; IMU init fixes it)
-        idx = sorted(i for i in out_poses if i >= 20 and i not in blank_span)
+        # arbitrary monocular init scale; IMU init fixes it). Evaluate the
+        # FINAL trajectory (rebased at IMU init — the reference equivalently
+        # reconstructs SaveTrajectoryTUM poses relative to rescaled
+        # keyframes): live per-frame returns straddle the init rebase jump.
+        final = {int(round(ts * 10.0)): np.asarray(p)
+                 for ts, p, st in sys.tracker.trajectory}
+        # the metric claim holds for the POST-INIT segment: pre-init poses
+        # carry the monocular visual drift amplified by the scale correction
+        # (same in the reference — its SaveTrajectoryTUM keeps that history)
+        start = init_at + 1
+        assert start < 30, f"IMU initialized too late (frame {init_at})"
+        idx = sorted(i for i in final if i >= start and i not in blank_span)
+        assert len(idx) >= 15
         est, gt = [], []
         for i in idx:
-            est.append(np.asarray(lie.se3_t(lie.se3_inv(jnp.asarray(out_poses[i])))))
+            est.append(np.asarray(lie.se3_t(lie.se3_inv(jnp.asarray(final[i])))))
             gt.append(np.asarray(lie.se3_t(lie.se3_inv(jnp.asarray(poses[i])))))
         est, gt = np.stack(est), np.stack(gt)
         d_est = np.linalg.norm(np.diff(est, axis=0), axis=1).sum()
