@@ -547,7 +547,15 @@ class LocalMapper:
         bg = vi_ba.estimate_gyro_bias(T_bw, pres)
         s, g_w, vels = vi_ba.estimate_gravity_scale(T_bw, None, pres, bias_g=bg)
         s = float(s)
-        if not (0.02 < s < 50.0) or not np.isfinite(np.asarray(g_w)).all():
+        if tracker.config.depth_sensor:
+            # stereo/RGBD-inertial: the map is already metric — the linear
+            # init must agree (the reference fixes scale for these sensors,
+            # `LocalMapping.cc:1231` bFIBA with fixed scale); only gravity
+            # direction + velocities + biases are taken
+            if not (0.80 < s < 1.25) or not np.isfinite(np.asarray(g_w)).all():
+                return False
+            s = 1.0
+        elif not (0.02 < s < 50.0) or not np.isfinite(np.asarray(g_w)).all():
             return False
         Rq = vi_ba.gravity_alignment_rotation(g_w)
         S = jnp.concatenate([Rq, jnp.zeros(3), jnp.asarray([s])])
@@ -573,6 +581,8 @@ class LocalMapper:
         from ..loopclosing import merge as merge_mod
         from . import vi_ba
 
+        if tracker.config.depth_sensor:
+            return False  # metric sensors never rescale (LocalMapping.cc:1416)
         slots = list(tracker.kf_chain)
         if len(slots) < 4 or not all(s in tracker.kf_preint for s in slots[1:]):
             return False

@@ -35,6 +35,9 @@ MONOCULAR = "monocular"
 IMU_MONOCULAR = "imu-monocular"
 STEREO = "stereo"
 RGBD = "rgbd"
+IMU_STEREO = "imu-stereo"
+IMU_RGBD = "imu-rgbd"
+_SENSORS = (MONOCULAR, IMU_MONOCULAR, STEREO, RGBD, IMU_STEREO, IMU_RGBD)
 
 
 class System:
@@ -42,11 +45,9 @@ class System:
                  sensor: str = MONOCULAR, agent_id: int = 0,
                  vocabulary_file: Optional[str] = None,
                  use_viewer: bool = False):
-        if sensor not in (MONOCULAR, IMU_MONOCULAR, STEREO, RGBD):
+        if sensor not in _SENSORS:
             raise NotImplementedError(
-                f"unknown sensor mode {sensor!r}; supported: monocular, "
-                "imu-monocular, stereo, rgbd (stereo-inertial is a tracked "
-                "capability gap)"
+                f"unknown sensor mode {sensor!r}; supported: {_SENSORS}"
             )
         if isinstance(settings, str):
             settings = config_mod.load_settings(settings)
@@ -56,7 +57,7 @@ class System:
         self.voc = (vocabulary.load(vocabulary_file)
                     if vocabulary_file else None)
         cfg = settings.tracker_config()
-        if sensor in (STEREO, RGBD):
+        if sensor in (STEREO, RGBD, IMU_STEREO, IMU_RGBD):
             import dataclasses as _dc
 
             if settings.camera.baseline <= 0.0:
@@ -64,9 +65,11 @@ class System:
                     "stereo/rgbd sensor needs camera.baseline (or the "
                     "reference's Camera.bf) in the settings"
                 )
-            cfg = _dc.replace(cfg, sensor=sensor)
+            cfg = _dc.replace(
+                cfg, sensor="stereo" if sensor in (STEREO, IMU_STEREO)
+                else "rgbd")
         self.mapper = local_mapping.LocalMapper()
-        inertial = sensor == IMU_MONOCULAR
+        inertial = sensor in (IMU_MONOCULAR, IMU_STEREO, IMU_RGBD)
         self.tracker = trk.MonocularTracker(
             cfg, settings.camera.K(),
             np.asarray(settings.camera.dist, np.float32),
@@ -142,6 +145,20 @@ class System:
         dts [M] s since the previous frame."""
         self.tracker.grab_imu(acc, gyro, dts)
         return self.track_monocular(img, timestamp)
+
+    def track_stereo_inertial(self, img_left, img_right, timestamp: float,
+                              acc, gyro, dts):
+        """`System::TrackStereo` with queued IMU (IMU_STEREO): the map is
+        metric from the stereo depth; IMU init estimates gravity/velocity/
+        bias at FIXED scale."""
+        self.tracker.grab_imu(acc, gyro, dts)
+        return self.track_stereo(img_left, img_right, timestamp)
+
+    def track_rgbd_inertial(self, img, depth_map, timestamp: float,
+                            acc, gyro, dts):
+        """`System::TrackRGBD` with queued IMU (IMU_RGBD)."""
+        self.tracker.grab_imu(acc, gyro, dts)
+        return self.track_rgbd(img, depth_map, timestamp)
 
     def is_imu_initialized(self):
         return self.tracker.imu_initialized

@@ -451,6 +451,18 @@ class MonocularTracker:
         )
         return self.process_frame(frame, timestamp)
 
+    def process_stereo_inertial(self, img_l, img_r, timestamp: float,
+                                acc, gyro, dts):
+        """Stereo frames + queued IMU (the IMU_STEREO sensor mode)."""
+        self.grab_imu(acc, gyro, dts)
+        return self.process_stereo_pair(img_l, img_r, timestamp)
+
+    def process_rgbd_inertial(self, img, depth_map, timestamp: float,
+                              acc, gyro, dts):
+        """RGB-D frames + queued IMU (the IMU_RGBD sensor mode)."""
+        self.grab_imu(acc, gyro, dts)
+        return self.process_rgbd(img, depth_map, timestamp)
+
     def process_rgbd(self, img, depth_map, timestamp: float):
         """`System::TrackRGBD` equivalent: registered depth in meters (apply
         the sensor's depth factor before calling, or pass depth_factor via
@@ -714,6 +726,14 @@ class MonocularTracker:
         self.frames_since_kf = 0
         self.state = OK
         self._last_good_ts = self._cur_ts
+        if self.inertial:
+            # stereo/RGBD-inertial: the map is metric from frame one; the
+            # IMU init later estimates gravity/velocities at FIXED scale
+            self.kf_chain = [0]
+            self.kf_vel = {0: np.zeros(3, np.float32)}
+            self.kf_preint = {}
+            self._imu_kf = []
+            self._imu_frame = []
         if self.local_mapper is not None:
             self.local_mapper.on_initial_map(self)
         return T1

@@ -228,3 +228,54 @@ class TestViEndToEnd:
         assert d_gt > 0.05
         ratio = d_est / d_gt
         assert 0.8 < ratio < 1.25, f"trajectory not metric: ratio {ratio}"
+
+
+class TestStereoInertial:
+    def test_imu_stereo_end_to_end(self):
+        """IMU_STEREO (`System.h` TrackStereo+IMU): the map is metric from
+        the first stereo frame, the IMU init runs at FIXED scale (gravity/
+        velocity/bias only, `LocalMapping.cc:1231` semantics), and the LIVE
+        per-frame trajectory is metric throughout — no rebase jump."""
+        from dvm_slam_tpu.io import config as config_mod
+        from dvm_slam_tpu.models import system as system_mod
+
+        settings = config_mod.SystemSettings()
+        settings.camera = config_mod.CameraSettings(
+            fx=260.0, fy=260.0, cx=160.0, cy=120.0, width=320, height=240,
+            dist=(0.0, 0.0, 0.0, 0.0), fps=10.0, baseline=0.12,
+        )
+        settings.orb = config_mod.OrbSettings(n_features=600)
+        settings.kf_capacity = 64
+        settings.pt_capacity = 4096
+        settings.imu = config_mod.ImuSettings(frequency=100.0)
+        sys = system_mod.System(settings, sensor="imu-stereo", agent_id=1)
+        world = synthetic.PlaneWorld(seed=3, tex_size=1024, plane_z=6.0,
+                                     extent=30.0)
+        n = 34
+        poses, chunks, vels = synthetic.vi_trajectory(
+            n, fps=10.0, imu_rate=100.0, lateral=2.0, forward=0.5, z_amp=0.3,
+        )
+        K = jnp.asarray(settings.camera.K())
+        out_poses = {}
+        for i in range(n):
+            acc, gyr, dts = chunks[i]
+            il, ir = world.render_stereo(jnp.asarray(poses[i]), K, 240, 320,
+                                         0.12)
+            p = sys.track_stereo_inertial(np.asarray(il), np.asarray(ir),
+                                          i * 0.1, acc, gyr, dts)
+            if p is not None:
+                out_poses[i] = np.asarray(p)
+        assert sys.get_tracking_state() == "OK"
+        assert sys.is_imu_initialized(), "IMU never initialized"
+        # stereo map is metric from frame 0: the LIVE trajectory (no rebase
+        # correction needed) must already be metric
+        idx = sorted(out_poses)
+        assert len(idx) >= 30
+        est = np.stack([np.asarray(lie.se3_t(lie.se3_inv(jnp.asarray(out_poses[i]))))
+                        for i in idx])
+        gt = np.stack([np.asarray(lie.se3_t(lie.se3_inv(jnp.asarray(poses[i]))))
+                       for i in idx])
+        d_est = np.linalg.norm(np.diff(est, axis=0), axis=1).sum()
+        d_gt = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
+        ratio = d_est / d_gt
+        assert 0.8 < ratio < 1.25, f"trajectory not metric: ratio {ratio}"
