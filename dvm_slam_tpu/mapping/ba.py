@@ -407,15 +407,13 @@ def bundle_adjust_pcg(
         Pu = Pu * popt[optc, None]
         Pv = Pv * popt[optc, None]
 
-        # blocks
-        Hcc = (
-            jnp.zeros((L, 6, 6), dtype)
-            .at[okf].add(w[:, None, None] * (Ju[:, :, None] * Ju[:, None, :]
-                                             + Jv[:, :, None] * Jv[:, None, :]))
-        )
-        bc = jnp.zeros((L, 6), dtype).at[okf].add(
-            w[:, None] * (Ju * ru[:, None] + Jv * rv[:, None])
-        )
+        # camera blocks: observations are row-major ([L,F] flattened), so
+        # the per-camera reduction is a plain reshape+sum — no scatter
+        ccv = w[:, None, None] * (Ju[:, :, None] * Ju[:, None, :]
+                                  + Jv[:, :, None] * Jv[:, None, :])
+        Hcc = ccv.reshape(L, F, 6, 6).sum(axis=1)
+        bcv = w[:, None] * (Ju * ru[:, None] + Jv * rv[:, None])
+        bc = bcv.reshape(L, F, 6).sum(axis=1)
         Hpp = (
             jnp.zeros((P, 3, 3), dtype)
             .at[optc].add(w[:, None, None] * (Pu[:, :, None] * Pu[:, None, :]
