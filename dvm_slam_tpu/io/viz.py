@@ -11,6 +11,7 @@ becomes a `changed_since` filter.
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 import jax.numpy as jnp
@@ -120,3 +121,95 @@ def export_state_json(path: str, agent, changed_since=None):
     with open(path, "w") as f:
         json.dump(doc, f)
     return doc
+
+
+class LiveViewer:
+    """Interactive map/trajectory viewer — the role of the reference's
+    Pangolin `Viewer` + `MapDrawer` + `FrameDrawer` windows
+    (`orb_slam3/src/Viewer.cc`, `MapDrawer.cc`, `FrameDrawer.cc`),
+    re-targeted to matplotlib so it runs anywhere:
+
+    * with a display (and ``interactive=True``) it opens a live window and
+      refreshes in place (plt.ion);
+    * headless it renders the same layout to PNG frames under ``out_dir``
+      (one per ``update`` call), which is also what CI exercises.
+
+    Layout: left pane = 3D map (point cloud, keyframe frusta, trajectory),
+    right pane = current frame with tracked-feature overlay (FrameDrawer).
+    """
+
+    def __init__(self, out_dir: str | None = None, interactive: bool = False,
+                 max_points: int = 4000):
+        import matplotlib
+        if not interactive:
+            matplotlib.use("Agg", force=True)
+        import matplotlib.pyplot as plt
+
+        self._plt = plt
+        self.interactive = interactive
+        self.out_dir = out_dir
+        self.max_points = max_points
+        self._frame_idx = 0
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+        self.fig = plt.figure(figsize=(12, 5))
+        self.ax3d = self.fig.add_subplot(1, 2, 1, projection="3d")
+        self.ax_img = self.fig.add_subplot(1, 2, 2)
+        if interactive:
+            plt.ion()
+            self.fig.show()
+
+    def update(self, m: map_state.MapState, trajectory=None, img=None,
+               frame=None, obs=None, title: str = ""):
+        """Redraw from the current MapState (+ optional trajectory list of
+        (ts, T_cw, state) and current image/frame for the overlay)."""
+        np_ = np
+        ax = self.ax3d
+        ax.cla()
+        pts = np_.asarray(m.pt_pos)
+        ok = np_.asarray(m.pt_valid)
+        P = pts[ok]
+        if len(P) > self.max_points:
+            P = P[:: max(1, len(P) // self.max_points)]
+        if len(P):
+            ax.scatter(P[:, 0], P[:, 1], P[:, 2], s=1, c="k", alpha=0.4)
+        n_kf = int(m.n_kf)
+        kf_ok = np_.asarray(m.kf_valid[:n_kf])
+        for i in range(n_kf):
+            if not kf_ok[i]:
+                continue
+            W = np_.asarray(camera_wireframe(m.kf_pose[i], scale=0.15))
+            ax.plot(W[:, 0], W[:, 1], W[:, 2], c="b", lw=0.6)
+        if trajectory:
+            from ..geometry import lie as _lie
+            import jax.numpy as _jnp
+            C = np_.stack([
+                np_.asarray(_lie.se3_t(_lie.se3_inv(_jnp.asarray(T))))
+                for _, T, _ in trajectory
+            ])
+            ax.plot(C[:, 0], C[:, 1], C[:, 2], c="g", lw=1.2)
+        ax.set_title(title or f"map: {int(ok.sum())} pts, {n_kf} KFs")
+
+        self.ax_img.cla()
+        if img is not None:
+            overlay = (draw_frame(img, frame, obs=obs)
+                       if frame is not None else np_.asarray(img))
+            self.ax_img.imshow(overlay.astype(np_.uint8)
+                               if overlay.ndim == 3 else overlay,
+                               cmap=None if overlay.ndim == 3 else "gray")
+            self.ax_img.set_title("current frame")
+        self.ax_img.set_axis_off()
+
+        if self.interactive:
+            self.fig.canvas.draw_idle()
+            self.fig.canvas.flush_events()
+        if self.out_dir:
+            path = os.path.join(self.out_dir,
+                                f"viewer_{self._frame_idx:05d}.png")
+            self.fig.savefig(path, dpi=72)
+            self._frame_idx += 1
+            return path
+        return None
+
+    def close(self):
+        self._plt.close(self.fig)

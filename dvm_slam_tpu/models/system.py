@@ -80,6 +80,18 @@ class System:
         )
         self.tracker.meta.agent_id = agent_id
         self.use_viewer = use_viewer
+        self.viewer = None
+        self._viewer_every = 10
+        if use_viewer:
+            # `Viewer`/`MapDrawer`/`FrameDrawer` role: live window when a
+            # display exists, PNG frame dumps otherwise (io.viz.LiveViewer)
+            from ..io.viz import LiveViewer
+
+            interactive = bool(os.environ.get("DISPLAY"))
+            self.viewer = LiveViewer(
+                out_dir=None if interactive else "viewer_frames",
+                interactive=interactive,
+            )
         if self.voc is not None:
             # with a vocabulary, enable relocalization and the multi-submap
             # atlas (new map on persistent LOST + merge-back)
@@ -110,7 +122,18 @@ class System:
             img = np.asarray(jax.image.resize(
                 jnp.asarray(img, jnp.float32), (c.out_height, c.out_width), "linear"
             ))
-        return self.tracker.process_image(img.astype(np.float32), timestamp)
+        pose = self.tracker.process_image(img.astype(np.float32), timestamp)
+        self._maybe_draw(img)
+        return pose
+
+    def _maybe_draw(self, img=None):
+        if self.viewer is None:
+            return
+        if self.tracker.n_frames % self._viewer_every:
+            return
+        self.viewer.update(self.tracker.map,
+                           trajectory=self.tracker.trajectory[-200:],
+                           img=img)
 
     def track_stereo(self, img_left, img_right, timestamp: float):
         """`System::TrackStereo` (`System.h:124`): rectified grayscale pair

@@ -212,3 +212,34 @@ class TestRunDataset:
         a1 = rep["agents"].get("1")
         assert a1 is not None and a1["frames"] > 5
         assert a1["ate_rmse_m"] < 0.15, rep
+
+
+class TestLiveViewer:
+    def test_headless_png_frames(self, tmp_path):
+        """`LiveViewer` (the Pangolin Viewer/MapDrawer/FrameDrawer role)
+        renders map + trajectory + frame overlay to PNG when headless."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from dvm_slam_tpu.io.viz import LiveViewer
+        from dvm_slam_tpu.mapping import map_state
+        from dvm_slam_tpu.geometry import lie
+
+        m = map_state.create(8, 256, 64)
+        rng = np.random.RandomState(0)
+        m = m._replace(
+            pt_pos=jnp.asarray(rng.randn(256, 3).astype(np.float32) + [0, 0, 5]),
+            pt_valid=jnp.ones(256, bool),
+            kf_valid=m.kf_valid.at[:3].set(True),
+            n_kf=jnp.int32(3),
+        )
+        traj = [(i * 0.1, np.asarray(lie.se3_identity()), "OK")
+                for i in range(5)]
+        v = LiveViewer(out_dir=str(tmp_path), interactive=False)
+        img = (rng.rand(120, 160) * 255).astype(np.float32)
+        p1 = v.update(m, trajectory=traj, img=img, title="t")
+        p2 = v.update(m)
+        v.close()
+        import os
+        assert os.path.exists(p1) and os.path.getsize(p1) > 1000
+        assert os.path.exists(p2)
