@@ -30,3 +30,17 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after every test module: a single long
+    pytest process accumulates hundreds of XLA CPU executables across the
+    slow e2e suite, which eventually segfaults the compiler (observed in
+    jax 0.8 backend_compile_and_load after ~30 heavy tests). Per-module
+    recompiles cost seconds; a crashed lane costs the whole run."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
