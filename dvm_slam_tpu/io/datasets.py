@@ -173,6 +173,12 @@ def load_euroc_stereo(root: str) -> StereoSequence:
     return StereoSequence(load_euroc(root, "cam0"), load_euroc(root, "cam1"))
 
 
+def load_kitti_stereo(root: str) -> StereoSequence:
+    """KITTI odometry grayscale stereo: image_0 (left) + image_1 (right),
+    already rectified."""
+    return StereoSequence(load_kitti(root, 0), load_kitti(root, 1))
+
+
 def load_tum_rgbd(root: str) -> RgbdSequence:
     """TUM RGB-D: `rgb.txt` + `depth.txt` (16-bit png, factor 5000)."""
     rgb = load_tum(root)

@@ -37,11 +37,15 @@ class StoredMap:
 
 
 class Atlas:
-    def __init__(self, voc, K, fc, agent_id: int = 0):
+    def __init__(self, voc, K, fc, agent_id: int = 0,
+                 fix_scale: bool = False):
         self.voc = voc
         self.K = jnp.asarray(K)
         self.fc = fc
         self.agent_id = agent_id
+        # metric maps (stereo/RGB-D/inertial): merge-back Sim3 at s=1
+        # (`Sim3Solver` bFixScale, `LoopClosing.cc:785`)
+        self.fix_scale = fix_scale
         self.inactive: List[StoredMap] = []
         self.key = jax.random.PRNGKey(31337)
         # DVM merge registry (Atlas.h:154-166) + loop triggers (Atlas.cc:442)
@@ -103,6 +107,7 @@ class Atlas:
             res = merge_mod.compute_sim3_between(
                 sub, stored.m, jnp.int32(int(best)),
                 m_active, jnp.int32(query_slot), self.K,
+                with_scale=not self.fix_scale,
             )
             if not bool(res.ok):
                 continue

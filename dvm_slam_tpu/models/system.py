@@ -104,7 +104,8 @@ class System:
                 kf_cap=settings.kf_capacity,
             )
             self.tracker.atlas = Atlas(self.voc, settings.camera.K(), fc,
-                                       agent_id=agent_id)
+                                       agent_id=agent_id,
+                                       fix_scale=cfg.depth_sensor or inertial)
         if settings.load_atlas_from_file:
             self.load_atlas(settings.load_atlas_from_file)
 

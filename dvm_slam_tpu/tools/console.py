@@ -173,7 +173,11 @@ def run_dataset_sensor(dataset_root, sensor="stereo", settings_path=None,
     settings = config_mod.load_settings(settings_path)
     system = System(settings, sensor=sensor)
     if sensor == "stereo":
-        seq = datasets.load_euroc_stereo(dataset_root)
+        # EuRoC layout (mav0/cam0+cam1) or KITTI odometry (image_0+image_1)
+        if os.path.isdir(os.path.join(dataset_root, "image_0")):
+            seq = datasets.load_kitti_stereo(dataset_root)
+        else:
+            seq = datasets.load_euroc_stereo(dataset_root)
     elif sensor == "rgbd":
         seq = datasets.load_tum_rgbd(dataset_root)
     else:
