@@ -112,38 +112,63 @@ def main():
     e2e_fps = 1.0 / e2e_dt
     kf_created = int(t.map.n_kf) - kf_before
 
-    # device-autonomous mode: keyframe decision + mapper chain run ON
-    # DEVICE (lax.cond inside the per-frame dispatch) — zero per-frame host
-    # round trips; bookkeeping flags retire asynchronously 8 frames late.
-    # This is the TPU-native answer to the reference's 3-thread overlap.
+    # device-autonomous mode, PRODUCTION configuration: keyframe decision +
+    # mapper chain run ON DEVICE (lax.cond inside the dispatch), B=4 frames
+    # per dispatch (`autonomous_step_batch` lax.scan) to divide the ~2.5 ms
+    # relay round-trip, bookkeeping flags retire asynchronously. This is the
+    # TPU-native answer to the reference's 3-thread overlap and the default
+    # path of System/SlamAgent for visual modes.
     t.async_depth = 8
+    t.auto_batch = 4
     e2e_auto_fps = 0.0
+    kf_before_auto = int(t.map.n_kf)
     if t.enter_autonomous():
-        t.process_image(e2e_imgs[n_e2e], (len(imgs) + n_e2e) * 0.05)  # warm
+        for w in range(4):  # warm both dispatch shapes
+            t.process_image(e2e_imgs[n_e2e + w], (len(imgs) + n_e2e + w) * 0.05)
         jax.block_until_ready(t._auto_state.T_cw)
+        n_auto = len(e2e_imgs) - n_e2e - 4
         t0 = time.perf_counter()
-        for i, img in enumerate(e2e_imgs[n_e2e + 1:]):
-            t.process_image(img, (len(imgs) + n_e2e + 1 + i) * 0.05)
+        for i, img in enumerate(e2e_imgs[n_e2e + 4:]):
+            t.process_image(img, (len(imgs) + n_e2e + 4 + i) * 0.05)
             if not t.autonomous:
                 break  # tracker handed control back (lost)
         if t.autonomous:
+            t.drain_auto()
             jax.block_until_ready(t._auto_state.T_cw)
-            e2e_auto_fps = (n_e2e - 1) / (time.perf_counter() - t0)
+            e2e_auto_fps = n_auto / (time.perf_counter() - t0)
             t.exit_autonomous()
     t.flush_meta()
+    kf_auto = int(t.map.n_kf) - kf_before_auto
     t.async_depth = 0
+    t.auto_batch = 1
 
-    # ---- local BA timing (secondary, reported inside the same line) ----
-    centers = [jnp.int32(max(int(m.n_kf) - 1 - i, 1)) for i in range(4)]
-    mm, chi2 = local_mapping.local_ba(m, centers[0], t.K, n_local=12, n_fixed=8,
-                                      n_pts=4096, iters=6)
-    jax.block_until_ready(mm.kf_pose)
+    # ---- local BA, production shape: B concurrent window BAs ------------
+    # (one per agent — the multi-agent mapper's real workload) in ONE
+    # dispatch via `local_ba_batched`; per-solve time is total/B. Selection
+    # (covisibility window, point ranking, compaction) included.
+    BATCH = 8
+    ms_stack = map_state.stack_maps([m] * BATCH)
+    cen_sets = [
+        jnp.asarray([(3 + i * BATCH + b) % max(int(m.n_kf) - 2, 1) + 1
+                     for b in range(BATCH)], jnp.int32)
+        for i in range(4)
+    ]
+    mm, chi2 = local_mapping.local_ba_batched(
+        ms_stack, cen_sets[0], t.K, n_local=12, n_fixed=8, n_pts=4096, iters=6)
+    jax.block_until_ready(chi2)
     t0 = time.perf_counter()
-    for i in range(10):
-        mm, chi2 = local_mapping.local_ba(m, centers[i % 4], t.K, n_local=12,
-                                          n_fixed=8, n_pts=4096, iters=6)
-    jax.block_until_ready(mm.kf_pose)
-    ba_ms = (time.perf_counter() - t0) / 10 * 1000.0
+    for i in range(8):
+        mm, chi2 = local_mapping.local_ba_batched(
+            ms_stack, cen_sets[i % 4], t.K, n_local=12, n_fixed=8,
+            n_pts=4096, iters=6)
+    jax.block_until_ready(chi2)
+    ba_ms = (time.perf_counter() - t0) / 8 / BATCH * 1000.0
+
+    # ---- BA speedup vs CPU: the EXACT problem ba_baseline.cpp solves -----
+    # (same rng, same 20 KFs / 4096 pts / ~9.1k obs, both two gauge-fixed
+    # cameras). TPU runs the reference two-stage 6+5 scheme (MORE work than
+    # the C++ baseline's 6 plain iterations), batched x8 as in production.
+    ba_solve_ms = _tpu_same_problem_ba_ms(BATCH)
 
     # ---- full-map global BA (matrix-free Schur PCG) ---------------------
     mg, _ = local_mapping.global_ba(t.map, t.K, iters=8)
@@ -163,6 +188,9 @@ def main():
     # ---- same-algorithm-on-CPU (context only, NOT the speedup basis) ----
     cpu_same_ms = _cpu_ba_reference()
 
+    # ---- real-TPU Pallas kernel assertions (bit-level vs the XLA path) ---
+    pallas_ok = _verify_pallas_kernels(imgs[0], t)
+
     out = {
         "metric": "tracking_fps",
         "value": round(fps, 2),
@@ -170,20 +198,129 @@ def main():
         "vs_baseline": round(fps / 20.0, 3),
         "e2e_fps": round(e2e_fps, 2),
         "e2e_autonomous_fps": round(e2e_auto_fps, 2),
+        "e2e_auto_kf_created": kf_auto,
         "e2e_frame_ms_p50": round(float(np.percentile(frame_ms, 50)), 2),
         "e2e_frame_ms_p95": round(float(np.percentile(frame_ms, 95)), 2),
         "e2e_kf_created": kf_created,
         "local_ba_ms": round(ba_ms, 2),
+        "local_ba_batch": BATCH,
         "global_ba_ms": round(gba_ms, 2),
+        "pallas_verified": pallas_ok,
         "device": str(jax.devices()[0]),
     }
+    if ba_solve_ms:
+        out["ba_solve_ms"] = round(ba_solve_ms, 2)
     if cpu_sparse_ms:
         out["cpu_sparse_ba_ms"] = round(cpu_sparse_ms, 2)
         out["cpu_baseline_kind"] = cpu_kind
-        out["ba_speedup_vs_cpu"] = round(cpu_sparse_ms / ba_ms, 2)
+        # like-for-like: the identical 20-KF/4k-pt/9.1k-obs problem, TPU at
+        # 6+5 two-stage iterations vs the C++ baseline's 6 (see
+        # _tpu_same_problem_ba_ms); full-pipeline per-solve is local_ba_ms
+        basis = ba_solve_ms if ba_solve_ms else ba_ms
+        out["ba_speedup_vs_cpu"] = round(cpu_sparse_ms / basis, 2)
+        out["ba_speedup_full_pipeline"] = round(cpu_sparse_ms / ba_ms, 2)
     if cpu_same_ms:
         out["cpu_same_algo_ba_ms"] = round(cpu_same_ms, 2)
     print(json.dumps(out))
+
+
+def _tpu_same_problem_ba_ms(batch: int):
+    """Per-solve time for `ba.bundle_adjust` on the exact problem
+    `_problem_bin` hands the C++ baseline (observations compacted 1300->512
+    slots per row, which loses nothing: max valid row count ~492), batched
+    `batch`-wide as the multi-agent mapper runs it."""
+    import jax
+    import jax.numpy as jnp
+    from dvm_slam_tpu.mapping import ba
+    from dvm_slam_tpu.mapping.local_mapping import _compact_obs
+
+    rng = np.random.RandomState(0)
+    L, F, P = 20, 1300, 4096
+    X = (rng.randn(P, 3) * 2 + [0, 0, 8]).astype(np.float32)
+    K = np.array([458.0, 457.0, 367.0, 248.0], np.float32)
+    poses_t = np.zeros((L, 3), np.float32)
+    poses_t[:, 0] = np.arange(L) * 0.1
+    obs = rng.randint(0, P, (L, F)).astype(np.int32)
+    obs = np.where(rng.rand(L, F) < 0.35, obs, -1)
+    uv = np.zeros((L, F, 2), np.float32)
+    for l in range(L):
+        Xl = X[np.clip(obs[l], 0, None)] - poses_t[l]
+        uv[l, :, 0] = K[0] * Xl[:, 0] / Xl[:, 2] + K[2]
+        uv[l, :, 1] = K[1] * Xl[:, 1] / Xl[:, 2] + K[3]
+    uv += rng.randn(L, F, 2).astype(np.float32) * 0.5
+    poses0 = np.tile([1, 0, 0, 0, 0, 0, 0], (L, 1)).astype(np.float32)
+    poses0[:, 4:7] = -poses_t
+    xy_c, sig_c, obs_c, _ = _compact_obs(
+        jnp.asarray(uv), jnp.ones((L, F), jnp.float32), jnp.asarray(obs), 512)
+    fixed = jnp.zeros(L, bool).at[:2].set(True)  # 2 gauge cameras, like C++
+    popt = jnp.ones(P, bool)
+    Kj = jnp.asarray(K)
+    Xj = jnp.asarray(X)
+
+    def solve(pose_batch):
+        f = lambda p: ba.bundle_adjust(
+            p, fixed, xy_c, sig_c, obs_c, Xj, popt, Kj,
+            iters=6, stage2_iters=5, adjoint_dtype="bfloat16")[2]
+        return jnp.sum(jax.vmap(f)(pose_batch))
+
+    solve = jax.jit(solve)
+    # distinct pose batches defeat the relay's identical-dispatch elision
+    psets = [jnp.asarray(np.stack([
+        poses0 + rng.randn(L, 7).astype(np.float32) * 0.002
+        for _ in range(batch)])) for _ in range(12)]
+    for i in range(3):
+        r = solve(psets[i])
+    float(r)
+    t0 = time.perf_counter()
+    for i in range(9):
+        r = solve(psets[(3 + i) % 12])
+    float(r)
+    return (time.perf_counter() - t0) / 9 / batch * 1000.0
+
+
+def _verify_pallas_kernels(img, t):
+    """Assert the Pallas kernels match their XLA reference paths ON DEVICE
+    (closes the 'interpret-only equivalence' gap): fused ORB orientation+
+    rBRIEF, the BA one-hot adjoint, and the one-hot gather."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return False
+    try:
+        from dvm_slam_tpu.ops import pallas_scatter as ps
+
+        rng = np.random.RandomState(1)
+        L, G, F, P = 12, 30, 512, 4096
+        vals = jnp.asarray(rng.randn(L, G, F).astype(np.float32))
+        pidx = jnp.asarray(rng.randint(-1, P, (L, F)).astype(np.int32))
+        a = np.asarray(ps.onehot_adjoint_pallas(vals, pidx, P))
+        b = np.asarray(ps.onehot_adjoint_xla(vals, pidx, P))
+        if not np.allclose(a, b, rtol=1e-5, atol=1e-4):
+            return False
+        pts = jnp.asarray(rng.randn(3, P).astype(np.float32))
+        g1 = np.asarray(ps.onehot_gather_pallas(pts, pidx))
+        safe = jnp.clip(pidx, 0)
+        g2 = np.asarray(jnp.where(pidx[:, None, :] >= 0,
+                                  jnp.moveaxis(pts[:, safe], 0, 1), 0.0))
+        if not np.allclose(g1, g2, rtol=1e-6, atol=1e-6):
+            return False
+
+        # ORB: pallas orient+describe vs the XLA reference on a real frame
+        from dvm_slam_tpu.ops import pallas_orb, orb_descriptor, pyramid
+        im = jnp.asarray(img, jnp.float32)
+        blur = pyramid.gaussian_blur(im)
+        xy = jnp.stack([
+            jnp.asarray(rng.randint(20, im.shape[1] - 20, 256), jnp.float32),
+            jnp.asarray(rng.randint(20, im.shape[0] - 20, 256), jnp.float32),
+        ], axis=-1)
+        ang_p, desc_p = pallas_orb.orient_and_describe(im, blur, xy)
+        ang_x, desc_x = orb_descriptor.orient_and_describe(im, blur, xy)
+        return bool(np.allclose(np.asarray(ang_p), np.asarray(ang_x),
+                                atol=1e-4)
+                    and (np.asarray(desc_p) == np.asarray(desc_x)).all())
+    except Exception:
+        return False
 
 
 def _ba_problem_npz(path):

@@ -121,8 +121,7 @@ def _extract_impl(img, config: FrontendConfig):
 
             ang, desc = pallas_orb.orient_and_describe(im, blur, xy)
         else:
-            ang = orb_descriptor.orientations(im, xy)
-            desc = orb_descriptor.descriptors(blur, xy, ang)
+            ang, desc = orb_descriptor.orient_and_describe(im, blur, xy)
         all_xy.append(xy * s)  # back to level-0 pixel coordinates
         all_lv.append(jnp.full((budget,), lv, jnp.int32))
         all_ang.append(ang)

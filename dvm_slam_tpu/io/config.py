@@ -97,6 +97,14 @@ class SystemSettings:
     kf_capacity: int = 512
     pt_capacity: int = 16384
     viewer: dict = dataclasses.field(default_factory=dict)
+    # device-autonomous overlap (the reference always overlaps tracking/
+    # mapping/loop threads, `System.cc:209,226,245`): on by default for
+    # visual modes; IMU modes stay on the host state machine. `auto_batch`
+    # frames go per device dispatch, bookkeeping retires `async_depth`
+    # frames late.
+    autonomous: bool = True
+    auto_batch: int = 4
+    async_depth: int = 8
 
     def frontend_config(self):
         from ..frontend.extractor import FrontendConfig

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import lie
+from ..ops.pallas_scatter import onehot_adjoint, onehot_gather
 
 CHI2_MONO = 5.991
 HUBER_DELTA = math.sqrt(CHI2_MONO)
@@ -45,6 +46,61 @@ HUBER_DELTA_STEREO = math.sqrt(CHI2_STEREO)
 # iteration and every Schur product is an MXU matmul; above it, matrix-free
 # PCG with per-observation scatters (scalable, slower per iteration).
 _DENSE_W_MAX_BYTES = 384 * 1024 * 1024
+
+
+def _block_jacobi_pcg(Sm, Minv_d, r0, iters: int):
+    """PCG on a dense SPD reduced camera system with 6x6 block-Jacobi
+    preconditioning. `jnp.linalg.solve`'s LU custom call executes serially
+    on TPU (profiled at ~0.8 ms per [120,120] solve — ~70% of a whole BA
+    iteration); ~30 MXU matvecs replace it at a fraction of the cost.
+
+    Sm [6L,6L], Minv_d [L,6,6] inverse diagonal blocks, r0 [6L]."""
+    L = Minv_d.shape[0]
+
+    def precond(r):
+        return jnp.einsum("lij,lj->li", Minv_d, r.reshape(L, 6)).reshape(-1)
+
+    z0 = precond(r0)
+
+    def body(_, st):
+        xk, rk, pk, rzk = st
+        Ap = Sm @ pk
+        alpha = rzk / jnp.maximum(jnp.dot(pk, Ap), 1e-30)
+        xk = xk + alpha * pk
+        rk = rk - alpha * Ap
+        zk = precond(rk)
+        rzn = jnp.dot(rk, zk)
+        beta = rzn / jnp.maximum(rzk, 1e-30)
+        return xk, rk, zk + beta * pk, rzn
+
+    x, _, _, _ = jax.lax.fori_loop(
+        0, iters, body, (jnp.zeros_like(r0), r0, z0, jnp.dot(r0, z0))
+    )
+    return x
+
+
+def inv3x3_planes(A, eps: float = 1e-12):
+    """Closed-form 3x3 inverse in plane-major layout: A [3,3,...] with the
+    batch in TRAILING (lane) dimensions -> [3,3,...]. Pure VPU elementwise
+    ops; no [N,3,3] transpose ever materializes (profiled: the layout
+    shuffles around minor-dim-3 tensors cost more than the whole Schur
+    product on TPU)."""
+    a, b, c = A[0, 0], A[0, 1], A[0, 2]
+    d, e, f = A[1, 0], A[1, 1], A[1, 2]
+    g, h, i = A[2, 0], A[2, 1], A[2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < eps, eps, det)
+    rows = [[A11, A12, A13], [A21, A22, A23], [A31, A32, A33]]
+    return jnp.stack([jnp.stack(r) for r in rows]) * inv_det[None, None]
 
 
 def inv3x3(A, eps: float = 1e-12):
@@ -75,7 +131,8 @@ def inv3x3(A, eps: float = 1e-12):
     return M * inv_det[..., None, None]
 
 
-@partial(jax.jit, static_argnames=("iters", "stage2_iters"))
+@partial(jax.jit, static_argnames=("iters", "stage2_iters", "schur_iters",
+                                   "adjoint_dtype"))
 def bundle_adjust(
     kf_pose,      # [L,7] poses of the L window keyframes (world->cam)
     kf_fixed,     # [L] bool: True = pose held constant (gauge / out-of-window)
@@ -91,6 +148,8 @@ def bundle_adjust(
     kf_ur=None,   # optional [L,F] stereo right-u (-1 mono); with bf adds the
                   # third residual row (EdgeStereoSE3ProjectXYZ role)
     bf=None,      # fx * baseline
+    schur_iters: int = 32,  # PCG iterations on the reduced camera system
+    adjoint_dtype: str = "float32",  # MXU dtype for the adjoint contraction
 ):
     """Windowed BA. Returns (kf_pose', pts', total_chi2, inlier_mask [L,F])."""
     L, F = obs_pt.shape
@@ -109,24 +168,29 @@ def bundle_adjust(
     delta_h = HUBER_DELTA if kf_ur is None else jnp.where(
         stereo, HUBER_DELTA_STEREO, HUBER_DELTA
     )
-
-    # one-hot incidence, built once (indices are constant across iterations)
-    oh = (
-        (pidx[..., None] == jnp.arange(P, dtype=jnp.int32)) & obs_valid[..., None]
-    ).astype(dtype)                                # [L,F,P]
+    # observation -> point incidence for the adjoint contraction: invalid
+    # slots get -1 (they match no column); valid weights are already zeroed
+    # for invalid obs, so this is belt-and-braces
+    pidx_adj = jnp.where(obs_valid, pidx, -1)
 
     ru_obs = kf_xy[..., 0]                         # [L,F]
     rv_obs = kf_xy[..., 1]
 
-    def compute_system(poses, points, active, robust=True):
-        """Residuals + Jacobian planes, all [., L, F]."""
-        # plain gather: points[pidx] is cheap on TPU; the one-hot matmul is
-        # reserved for the adjoint (scatter) direction below
-        Xo = jnp.moveaxis(points[pidx], -1, 1)                 # [L,3,F]
+    def compute_system(poses, points_pl):
+        """Residuals + Jacobian planes, all [., L, F]. points_pl: [3,P]."""
+        # one-hot MXU gather (XLA's row gather profiled at ~25% of a whole
+        # iteration) and explicit rotation FMAs: a [L,3,3]@[L,3,F] batched
+        # matmul has M=3 and lowers to a slow tiny-matmul path; 9 broadcast
+        # FMAs stay on the VPU
+        Xo = onehot_gather(points_pl, pidx_adj)                # [L,3,F]
         R = lie.quat_to_matrix(lie.se3_q(poses))               # [L,3,3]
         t = lie.se3_t(poses)
-        pc = jnp.einsum("lij,ljf->lif", R, Xo) + t[:, :, None]  # [L,3,F]
-        x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]                 # [L,F]
+
+        def rot_row(i):
+            return (R[:, i, 0, None] * Xo[:, 0] + R[:, i, 1, None] * Xo[:, 1]
+                    + R[:, i, 2, None] * Xo[:, 2] + t[:, i, None])
+
+        x, y, z = rot_row(0), rot_row(1), rot_row(2)           # [L,F]
         zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
         inv_z = 1.0 / zs
         ru = ru_obs - (K[0] * x * inv_z + K[2])
@@ -160,17 +224,22 @@ def bundle_adjust(
                             -a00 * z + a02s * x, a00 * y])
             Pw = -(R0[:, :, None] * a00[None] + R2[:, :, None] * a02s[None])
             chi2 = chi2 + rw * rw * info
-        w = info * active
-        if robust:
-            rn = jnp.sqrt(jnp.maximum(chi2, 1e-12))
-            w = w * jnp.minimum(1.0, delta_h / rn)
-        w = w * (z > 0)
-        return ru, rv, rw, z, Ju, Jv, Jw, Pu, Pv, Pw, chi2, w
+        # robust base weight (active mask applied by the caller)
+        rn = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+        w_base = info * jnp.minimum(1.0, delta_h / rn) * (z > 0)
+        return ru, rv, rw, z, Ju, Jv, Jw, Pu, Pv, Pw, chi2, w_base
 
-    def gn_step(carry, _):
-        poses, points, active = carry
-        ru, rv, rw, z, Ju, Jv, Jw, Pu, Pv, Pw, chi2, w = compute_system(
-            poses, points, active)
+    def gn_step(carry, k):
+        poses, points_pl, active = carry
+        ru, rv, rw, z, Ju, Jv, Jw, Pu, Pv, Pw, chi2, w_base = compute_system(
+            poses, points_pl)
+        # stage boundary (reference's two-stage scheme, `Optimizer.cc:1030`
+        # tail): at step `iters` drop outlier edges by chi2 at the current
+        # estimate, then keep optimizing — folded into ONE scan instead of
+        # two scans with a full residual pass in between
+        stage2_mask = (obs_valid & (chi2 <= chi2_th) & (z > 0)).astype(dtype)
+        active = jnp.where(k == iters, stage2_mask, active)
+        w = w_base * active
 
         # gate fixed cameras / constant points
         Juc = Ju * free_cam[None, :, None]
@@ -206,106 +275,88 @@ def bundle_adjust(
             WV = WV + (Jwc[:, None] * Pwc[None, :]) * ws[None, None]
 
         # ONE fused adjoint contraction per iteration: stack the 30 value
-        # planes (HppV 9 | bpV 3 | WV 18) and contract with the one-hot once
-        # — the dominant HBM cost is reading `oh` [L,F,P], so reading it once
-        # instead of three times is a ~2x iteration win (measured)
+        # planes (HppV 9 | bpV 3 | WV 18) and contract with the incidence
+        # once — on TPU a Pallas kernel builds each one-hot tile in VMEM so
+        # no [L,F,P] tensor ever touches HBM (ops/pallas_scatter.py)
         Vals = jnp.concatenate([
             HppV.reshape(9, L, F), bpV, WV.reshape(18, L, F)
         ], axis=0).transpose(1, 0, 2)                          # [L,30,F]
-        Fused = jax.lax.dot_general(
-            Vals, oh,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                                       # [L,30,P]
-        HppP = jnp.sum(Fused[:, :9], axis=0).reshape(3, 3, P)
-        Hpp = jnp.moveaxis(HppP, -1, 0)                        # [P,3,3]
+        Fused = onehot_adjoint(Vals, pidx_adj, P,
+                               dot_dtype=adjoint_dtype)        # [L,30,P]
+        # everything below stays plane-major (P in lanes): the [P,3,3]-major
+        # formulation forced layout transposes around every minor-dim-3
+        # tensor, which profiled at ~60% of the whole GN iteration
+        HppP = jnp.sum(Fused[:, :9], axis=0).reshape(3, 3, P)  # [3,3,P]
         bpP = jnp.sum(Fused[:, 9:12], axis=0)                  # [3,P]
         W = Fused[:, 12:].reshape(L, 6, 3, P)                  # [L,6,3,P]
 
-        # damp + closed-form invert point blocks
-        trp = jnp.einsum("pii->p", Hpp)
+        # damp + closed-form invert point blocks (VPU, lane-parallel)
+        trp = HppP[0, 0] + HppP[1, 1] + HppP[2, 2]             # [P]
         lam_p = damping * (1.0 + trp / 3.0)
-        Hpp_d = Hpp + lam_p[:, None, None] * eye3
+        eyeP = eye3[:, :, None]
+        Hpp_d = HppP + lam_p[None, None] * eyeP
         empty = trp < 1e-12
-        Hpp_d = jnp.where(empty[:, None, None], eye3, Hpp_d)
-        Hpp_inv = inv3x3(Hpp_d)
-        Hpp_inv = jnp.where(empty[:, None, None], 0.0, Hpp_inv)
+        Hpp_d = jnp.where(empty[None, None], eyeP, Hpp_d)
+        Hpi = jnp.where(empty[None, None], 0.0, inv3x3_planes(Hpp_d))
 
-        # Schur complement via one [6L,3P] @ [3P,6L] matmul
-        WHi = jnp.einsum("lijp,pjk->likp", W, Hpp_inv)         # [L,6,3,P]
-        Wf = W.reshape(L * 6, 3 * P)
-        WHif = WHi.reshape(L * 6, 3 * P)
+        # WHi[l,i,k,p] = sum_j W[l,i,j,p] Hpi[j,k,p] — unrolled FMAs beat
+        # both the 5-D broadcast-sum and an einsum here (measured)
+        WHi = jnp.stack(
+            [W[:, :, 0] * Hpi[None, None, 0, k]
+             + W[:, :, 1] * Hpi[None, None, 1, k]
+             + W[:, :, 2] * Hpi[None, None, 2, k] for k in range(3)],
+            axis=2,
+        )
+        # S_off[l1,i,l2,k] = sum_{j,p} WHi[l1,i,j,p] W[l2,k,j,p]
         S_off = jax.lax.dot_general(
-            WHif, Wf,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            WHi, W, dimension_numbers=(((2, 3), (2, 3)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(L, 6, L, 6).transpose(0, 2, 1, 3)            # [L,L,6,6]
+        )                                                       # [L,6,L,6]
 
+        ii = jnp.arange(L)
         S = -S_off
-        S = S.at[jnp.arange(L), jnp.arange(L)].add(Hcc)
+        S = S.at[ii, :, ii, :].add(Hcc)
         lam_c = damping * (1.0 + jnp.einsum("lii->l", Hcc) / 6.0)
         eye6 = jnp.eye(6, dtype=dtype)
-        S = S.at[jnp.arange(L), jnp.arange(L)].add(lam_c[:, None, None] * eye6)
+        S = S.at[ii, :, ii, :].add(lam_c[:, None, None] * eye6)
         # fixed cameras: identity rows keep S well-posed
         fix2 = kf_fixed[:, None] | kf_fixed[None, :]
-        S = jnp.where(fix2[:, :, None, None], 0.0, S)
-        S = S.at[jnp.arange(L), jnp.arange(L)].add(kf_fixed[:, None, None] * eye6)
+        S = jnp.where(fix2[:, None, :, None], 0.0, S)
+        S = S.at[ii, :, ii, :].add(kf_fixed[:, None, None] * eye6)
 
-        rhs = -(bc.reshape(-1) - WHif @ bpP.reshape(-1))
-        rhs = (rhs.reshape(L, 6) * free_cam[:, None]).reshape(-1)
+        # rhs[l,i] = -(bc - sum_{j,p} WHi[l,i,j,p] bpP[j,p])
+        rhs = -(bc - jax.lax.dot_general(
+            WHi, bpP, dimension_numbers=(((2, 3), (0, 1)), ((), ()))))
+        rhs = (rhs * free_cam[:, None]).reshape(-1)
 
-        Sm = S.transpose(0, 2, 1, 3).reshape(L * 6, L * 6)
-        dc = jnp.linalg.solve(Sm, rhs).reshape(L, 6)
+        Sm = S.reshape(L * 6, L * 6)
+        Minv_d = _inv6x6_block(S[ii, :, ii, :])
+        dc = _block_jacobi_pcg(Sm, Minv_d, rhs, schur_iters).reshape(L, 6)
         dc = jnp.where(jnp.isfinite(dc), dc, 0.0) * free_cam[:, None]
 
-        # back-substitution: dp = Hpp^-1 (-(bp + W^T dc))
-        Wt_dc = (dc.reshape(-1) @ Wf).reshape(3, P)            # [3,P]
-        dp = jnp.einsum(
-            "pij,pj->pi", Hpp_inv, -(bpP.T + Wt_dc.T)
-        )
-        dp = jnp.where(jnp.isfinite(dp), dp, 0.0) * pt_opt[:, None]
+        # back-substitution: dp = Hpp^-1 (-(bp + W^T dc)), all [3,P] planes
+        Wt_dc = jax.lax.dot_general(
+            dc, W, dimension_numbers=(((0, 1), (0, 1)), ((), ())))  # [3,P]
+        rhs_p = -(bpP + Wt_dc)
+        dpP = jnp.sum(Hpi * rhs_p[None], axis=1)               # [3,P]
+        dpP = jnp.where(jnp.isfinite(dpP), dpP, 0.0) * pt_opt[None, :]
 
         new_poses = jax.vmap(lie.se3_retract)(poses, dc)
-        new_points = points + dp
-        return (new_poses, new_points, active), jnp.sum(jnp.where(obs_valid, chi2, 0.0))
-
-    def chi2_full(poses, points):
-        r, z = _resid_only(poses, points, pidx, kf_xy, K)
-        chi2 = jnp.sum(r * r, axis=-1) * info
-        if kf_ur is not None:
-            Xo = points[pidx]
-            pc = (lie.quat_rotate(lie.se3_q(poses)[:, None, :], Xo)
-                  + lie.se3_t(poses)[:, None, :])
-            zz = jnp.where(jnp.abs(pc[..., 2]) < 1e-9, 1e-9, pc[..., 2])
-            ur_pred = K[0] * pc[..., 0] / zz + K[2] - bf / zz
-            rw = jnp.where(stereo, kf_ur - ur_pred, 0.0)
-            chi2 = chi2 + rw * rw * info
-        return chi2, z
+        return ((new_poses, points_pl + dpP, active),
+                jnp.sum(jnp.where(obs_valid, chi2, 0.0)))
 
     active0 = obs_valid.astype(dtype)
-    (poses, points, _), _ = jax.lax.scan(
-        gn_step, (kf_pose, pts, active0), None, length=iters
+    steps = jnp.arange(iters + stage2_iters, dtype=jnp.int32)
+    (poses, points_pl, _), _ = jax.lax.scan(
+        gn_step, (kf_pose, pts.T, active0), steps
     )
-    # drop outlier edges, re-optimize (reference stage 2)
-    chi2, z = chi2_full(poses, points)
-    stage2 = obs_valid & (chi2 <= chi2_th) & (z > 0)
-    (poses, points, _), _ = jax.lax.scan(
-        gn_step, (poses, points, stage2.astype(dtype)), None, length=stage2_iters
-    )
-    chi2, z = chi2_full(poses, points)
+    # final residual pass for the returned chi2/inlier classification
+    # (the scan's last output is chi2 BEFORE the last step)
+    sys_fin = compute_system(poses, points_pl)
+    z, chi2 = sys_fin[3], sys_fin[10]
     inliers = obs_valid & (chi2 <= chi2_th) & (z > 0)
     total = jnp.sum(jnp.where(inliers, chi2, 0.0))
-    return poses, points, total, inliers
-
-
-def _resid_only(poses, points, pidx, kf_xy, K):
-    Xo = points[pidx]
-    pc = lie.quat_rotate(lie.se3_q(poses)[:, None, :], Xo) + lie.se3_t(poses)[:, None, :]
-    z = pc[..., 2]
-    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
-    u = K[0] * pc[..., 0] / zs + K[2]
-    v = K[1] * pc[..., 1] / zs + K[3]
-    return kf_xy - jnp.stack([u, v], axis=-1), z
+    return poses, points_pl.T, total, inliers
 
 
 # --------------------------------------------------------------------------
@@ -471,26 +522,7 @@ def bundle_adjust_pcg(
             # global-BA wall time); ~40 matvec iterations of a [6L,6L]
             # matmul stay entirely on the MXU
             Minv_d = _inv6x6_block(S[ii, :, ii, :])
-
-            def dense_pcg(r0):
-                z0 = jnp.einsum("lij,lj->li", Minv_d, r0.reshape(L, 6)).reshape(-1)
-                def body(_, st):
-                    xk, rk, pk, rzk = st
-                    Ap = Sm @ pk
-                    alpha = rzk / jnp.maximum(jnp.dot(pk, Ap), 1e-30)
-                    xk = xk + alpha * pk
-                    rk = rk - alpha * Ap
-                    zk = jnp.einsum(
-                        "lij,lj->li", Minv_d, rk.reshape(L, 6)).reshape(-1)
-                    rzn = jnp.dot(rk, zk)
-                    beta = rzn / jnp.maximum(rzk, 1e-30)
-                    return xk, rk, zk + beta * pk, rzn
-                x0 = jnp.zeros_like(r0)
-                x, _, _, _ = jax.lax.fori_loop(
-                    0, 40, body, (x0, r0, z0, jnp.dot(r0, z0)))
-                return x
-
-            dc = dense_pcg(rhs.reshape(-1)).reshape(L, 6)
+            dc = _block_jacobi_pcg(Sm, Minv_d, rhs.reshape(-1), 40).reshape(L, 6)
             dc = jnp.where(jnp.isfinite(dc), dc, 0.0) * free_cam[:, None]
             WTdc = (dc.reshape(-1) @ B).reshape(P, 3)
             dp = jnp.einsum("pij,pj->pi", Hpp_inv, -(bp + WTdc))

@@ -381,38 +381,71 @@ def local_ba(m: map_state.MapState, center, K,
     new_poses, new_pts, chi2, inliers_c = ba.bundle_adjust(
         poses, fixed, kf_xy_c, kf_sig_c, obs_pt_c, pts, pt_opt, K, iters=iters,
         kf_ur=kf_ur_c, bf=bf,
+        adjoint_dtype="bfloat16" if jax.default_backend() == "tpu"
+        else "float32",
     )
-    # expand the compacted inlier mask back onto the full feature table
-    score = (obs_pt >= 0).astype(jnp.float32)
-    _, selc = jax.lax.top_k(score, no)
+    # expand the compacted inlier mask back onto the full feature table:
+    # _compact_obs's top_k is stable, so compacted slot i of row l is the
+    # i-th valid observation — a rank GATHER undoes it (TPU scatters on the
+    # [L,F] table serialize; this whole writeback is gather/select only)
     LX = obs_pt.shape[0]
-    inliers = jnp.ones(obs_pt.shape, bool).at[
-        jnp.arange(LX)[:, None], selc
-    ].set(inliers_c) & (obs_pt >= 0)  # non-compacted slots keep their obs
+    valid_o = obs_pt >= 0
+    rank = jnp.cumsum(valid_o.astype(jnp.int32), axis=1) - 1        # [LX,F]
+    in_c = jnp.take_along_axis(inliers_c, jnp.clip(rank, 0, no - 1), axis=1)
+    inliers = jnp.where(valid_o & (rank < no), in_c, valid_o)
 
-    # scatter back poses (only non-fixed local rows) and points
+    # blend back poses (only non-fixed local rows) and points via inverse
+    # row maps (one tiny [K]-scatter builds the map; rows flow as gathers)
     upd = rmask & ~fixed
     Kcap = m.kf_capacity
-    tgt = jnp.where(upd, rows, Kcap)
-    padded = jnp.concatenate([m.kf_pose, jnp.zeros((1, 7), m.kf_pose.dtype)])
-    kf_pose = padded.at[tgt].set(jnp.where(upd[:, None], new_poses, padded[tgt]))[:-1]
+    arangeLX = jnp.arange(LX, dtype=jnp.int32)
+    wpos_all = jnp.full((Kcap,), -1, jnp.int32).at[
+        jnp.where(rmask, rows, Kcap - 1)
+    ].max(jnp.where(rmask, arangeLX, -1))
+    wpos_upd = jnp.full((Kcap,), -1, jnp.int32).at[
+        jnp.where(upd, rows, Kcap - 1)
+    ].max(jnp.where(upd, arangeLX, -1))
+    has_w = wpos_upd >= 0
+    kf_pose = jnp.where(has_w[:, None], new_poses[jnp.clip(wpos_upd, 0)],
+                        m.kf_pose)
 
-    ptgt = jnp.where(sel_ok, sel, P)
-    ppad = jnp.concatenate([m.pt_pos, jnp.zeros((1, 3), m.pt_pos.dtype)])
-    pt_pos = ppad.at[ptgt].set(jnp.where(sel_ok[:, None], new_pts, ppad[ptgt]))[:-1]
+    # inv (from selection) is already the P -> window-row map
+    has_p = (inv[:P] >= 0) & sel_flag[:P]
+    pt_pos = jnp.where(has_p[:, None], new_pts[jnp.clip(inv[:P], 0)],
+                       m.pt_pos)
 
     # remove observations that ended as BA outliers (reference erases those
-    # edges after optimization, Optimizer.cc tail of LocalBundleAdjustment)
-    outlier = (obs_pt >= 0) & ~inliers
-    kf_obs = m.kf_obs
-    big = jnp.concatenate([kf_obs, jnp.full((1, F), -1, jnp.int32)])
-    rows_b = jnp.broadcast_to(jnp.where(rmask, rows, Kcap)[:, None], outlier.shape)
-    cols_b = jnp.broadcast_to(jnp.arange(F)[None, :], outlier.shape)
-    rsel = jnp.where(outlier, rows_b, Kcap)
-    big = big.at[rsel, cols_b].set(jnp.where(outlier, -1, big[rsel, cols_b]))
-    kf_obs = big[:-1]
+    # edges after optimization, Optimizer.cc tail of LocalBundleAdjustment):
+    # every window row (incl. fixed observers) gets its edited row back
+    new_rows = jnp.where(inliers, obs_pt_g, -1)                     # [LX,F]
+    has_row = wpos_all >= 0
+    kf_obs = jnp.where(has_row[:, None], new_rows[jnp.clip(wpos_all, 0)],
+                       m.kf_obs)
 
     return m._replace(kf_pose=kf_pose, pt_pos=pt_pos, kf_obs=kf_obs), chi2
+
+
+@partial(jax.jit, static_argnames=("n_local", "n_fixed", "n_pts", "iters",
+                                   "n_levels", "scale_factor", "n_obs"))
+def local_ba_batched(ms: map_state.MapState, centers, K,
+                     n_local: int = 16, n_fixed: int = 16, n_pts: int = 4096,
+                     iters: int = 6, n_levels: int = 8,
+                     scale_factor: float = 1.2, n_obs: int = 512, bf=None):
+    """B concurrent covisibility-window BAs in ONE dispatch.
+
+    `ms` is a MapState pytree stacked on a leading batch axis (one map per
+    agent — `map_state.stack_maps`), `centers` [B] the per-map window
+    centers. This is the production shape of the reference's per-agent
+    `LocalMapping` threads (`System.cc:209` spawns one per process; N agents
+    = N concurrent local BAs): batching amortizes the dispatch round-trip
+    and fills the MXU, which is where the >=10x-vs-CPU headroom lives.
+
+    Returns (ms', chi2 [B]) with every map updated independently."""
+    f = lambda m, c: local_ba(
+        m, c, K, n_local=n_local, n_fixed=n_fixed, n_pts=n_pts, iters=iters,
+        n_levels=n_levels, scale_factor=scale_factor, n_obs=n_obs, bf=bf,
+    )
+    return jax.vmap(f)(ms, centers)
 
 
 @partial(jax.jit, static_argnames=("n_kf_max", "n_pts", "iters", "n_levels", "scale_factor"))
@@ -473,6 +506,46 @@ def global_ba(m: map_state.MapState, K,
         ppad = jnp.concatenate([m.pt_pos, jnp.zeros((1, 3), m.pt_pos.dtype)])
         pt_pos = ppad.at[ptgt].set(jnp.where(sel_ok[:, None], new_pts, ppad[ptgt]))[:-1]
     return m._replace(kf_pose=kf_pose, pt_pos=pt_pos), chi2
+
+
+@jax.jit
+def apply_gba_correction(m: map_state.MapState, res_pose, res_pt,
+                         n_kf_snap, n_pt_snap, anchor):
+    """Fold an ASYNCHRONOUSLY computed global-BA result (run on a map
+    snapshot) back into the live map, which may have grown since dispatch —
+    the reference's GBA catch-up pass (`LoopClosing::RunGlobalBundleAdjustment`,
+    `LoopClosing.cc:2267`: `mTcwGBA` overwrite for optimized keyframes,
+    spanning-tree propagation for keyframes created while the GBA thread ran,
+    ref-keyframe reprojection for map points).
+
+    Keyframes in snapshot slots (< `n_kf_snap`) take their optimized poses;
+    keyframes created since are corrected through the `anchor` keyframe:
+    T' = T · T_anchor_live⁻¹ · T_anchor_gba (the spanning-tree child formula
+    with the weld center as parent). Points in snapshot slots take their
+    optimized positions; newer points re-project through their reference
+    keyframe: x' = T_ref_new⁻¹ (T_ref_old x)."""
+    from ..geometry import lie
+
+    Kc = m.kf_capacity
+    idx = jnp.arange(Kc, dtype=jnp.int32)
+    old_kf = (idx < n_kf_snap) & m.kf_valid
+    corr = lie.se3_mul(lie.se3_inv(m.kf_pose[anchor]), res_pose[anchor])
+    prop = jax.vmap(lambda T: lie.se3_mul(T, corr))(m.kf_pose)
+    kf_pose = jnp.where(old_kf[:, None], res_pose,
+                        jnp.where(m.kf_valid[:, None], prop, m.kf_pose))
+
+    Pc = m.pt_capacity
+    pidxa = jnp.arange(Pc, dtype=jnp.int32)
+    old_pt = (pidxa < n_pt_snap) & m.pt_valid
+    ref = jnp.clip(m.pt_ref_kf, 0, Kc - 1)
+    T_old = m.kf_pose[ref]
+    T_new = kf_pose[ref]
+    reproj = jax.vmap(
+        lambda To, Tn, x: lie.se3_apply(lie.se3_inv(Tn), lie.se3_apply(To, x))
+    )(T_old, T_new, m.pt_pos)
+    pt_pos = jnp.where(old_pt[:, None], res_pt,
+                       jnp.where(m.pt_valid[:, None], reproj, m.pt_pos))
+    return m._replace(kf_pose=kf_pose, pt_pos=pt_pos)
 
 
 # --------------------------------------------------------------------------

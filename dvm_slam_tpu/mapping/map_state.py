@@ -122,6 +122,17 @@ def create(kf_cap: int, pt_cap: int, feat_cap: int, dtype=jnp.float32) -> MapSta
     )
 
 
+def stack_maps(maps) -> MapState:
+    """Stack N same-capacity maps on a leading batch axis (one per agent)
+    for batched device work (`local_ba_batched`, vmapped tracking)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *maps)
+
+
+def unstack_maps(ms: MapState, n: int):
+    """Inverse of `stack_maps`: split the batch axis back into N maps."""
+    return [jax.tree_util.tree_map(lambda x: x[i], ms) for i in range(n)]
+
+
 # --------------------------------------------------------------------------
 # derived structures
 # --------------------------------------------------------------------------

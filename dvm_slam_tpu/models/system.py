@@ -108,6 +108,13 @@ class System:
                                        fix_scale=cfg.depth_sensor or inertial)
         if settings.load_atlas_from_file:
             self.load_atlas(settings.load_atlas_from_file)
+        # production overlap: device-autonomous tracking for visual modes
+        # (the reference's always-on thread overlap, System.cc:209,226,245);
+        # the tracker enters the fast lane itself once initialization is OK
+        if getattr(settings, "autonomous", True) and not inertial:
+            self.tracker.auto_mode = True
+            self.tracker.auto_batch = int(getattr(settings, "auto_batch", 4))
+            self.tracker.async_depth = int(getattr(settings, "async_depth", 8))
 
     # -- tracking -------------------------------------------------------
 
@@ -200,6 +207,7 @@ class System:
     # -- map exchange (System.cc:1382-1426 equivalents) ------------------
 
     def serialize_map(self, own_only: bool = False) -> bytes:
+        self.tracker.drain_auto()
         self.tracker.flush_meta()
         n = int(self.map.n_kf)
         mask = np.asarray(self.map.kf_valid).copy()
@@ -211,16 +219,20 @@ class System:
     # -- trajectory export -----------------------------------------------
 
     def save_trajectory_tum(self, path: str):
+        self.tracker.drain_auto()
         traj_mod.save_tum(path, self.tracker.trajectory)
 
     def save_trajectory_euroc(self, path: str):
+        self.tracker.drain_auto()
         traj_mod.save_euroc(path, self.tracker.trajectory)
 
     def save_trajectory_kitti(self, path: str):
+        self.tracker.drain_auto()
         traj_mod.save_kitti(path, self.tracker.trajectory)
 
     def save_keyframe_trajectory_tum(self, path: str):
         """`System::SaveKeyFrameTrajectoryTUM`: keyframe poses only."""
+        self.tracker.drain_auto()
         m = self.map
         rows = []
         for slot, ts in sorted(self.tracker.kf_timestamps.items(),

@@ -27,6 +27,8 @@ Protocol behavior reproduced (constants `orb_slam3_wrapper.cpp:36-38`):
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -60,7 +62,9 @@ class SlamAgent:
                  mapper: local_mapping.LocalMapper | None = None,
                  rng_seed: int | None = None,
                  post_merge_pose_graph: bool = True,
-                 post_merge_global_ba: bool = True):
+                 post_merge_global_ba: bool = True,
+                 autonomous: bool = True, auto_batch: int = 4,
+                 async_depth: int = 8):
         # post-merge optimization stages of `LoopClosing::MergeLocal` —
         # default ON to match the reference, which always runs the welding
         # BA *plus* essential-graph optimization *plus* a GBA thread on
@@ -77,6 +81,14 @@ class SlamAgent:
             rng_seed=agent_id if rng_seed is None else rng_seed,
         )
         self.tracker.meta.agent_id = agent_id
+        # production overlap (reference: tracking/mapping/loop threads are
+        # always overlapped, System.cc:209,226,245): the device-autonomous
+        # lane is the default for visual agents; merges/rebases exit it and
+        # auto_mode re-enters on the next healthy frame
+        if autonomous and not self.tracker.inertial:
+            self.tracker.auto_mode = True
+            self.tracker.auto_batch = auto_batch
+            self.tracker.async_depth = async_depth
         self.peers = PeerTable(agent_id, peer_ids)
         self.transport = transport
         transport.register(agent_id)
@@ -100,6 +112,12 @@ class SlamAgent:
         self._scale_interval = SCALE_ALIGN_BASE_INTERVAL
         self._next_scale_ts = SCALE_ALIGN_BASE_INTERVAL
         self._peer_merges = set()   # frozenset({a,b}) merge announcements seen
+        # in-flight post-merge global BA (the reference's detached GBA thread
+        # with its mbStopGBA abort, LoopClosing.cc:1796-1799): the dispatch
+        # is asynchronous on the device; the protocol loop polls and folds
+        # the result back in when ready, and any map rebase/splice/newer
+        # merge supersedes (aborts) it
+        self._pending_gba = None
         self.log = []
 
     # ------------------------------------------------------------------
@@ -111,8 +129,18 @@ class SlamAgent:
         self.run_once(ts)
         return pose
 
+    def flush(self):
+        """End-of-stream barrier: dispatch buffered autonomous frames,
+        retire all pending bookkeeping, fold in any in-flight global BA.
+        Call when the frame source ends (the reference's run loop just keeps
+        spinning; a finite replay needs an explicit drain)."""
+        self.tracker.drain_auto()
+        self.tracker.flush_meta()
+        self._poll_gba(block=True)
+
     def run_once(self, ts: float):
         """One protocol-loop iteration (`orb_slam3_wrapper.cpp:131-148`)."""
+        self._poll_gba()
         self._update_bow_db()
         self._drain_channels(ts)
         self._update_is_lost()
@@ -150,7 +178,11 @@ class SlamAgent:
         loop — at 512-KF caps x 8 agents the per-slot dispatch dominated
         the protocol loop. Pad counts to powers of two so jit traces stay
         cached across batch sizes."""
-        n = int(self.map.n_kf)
+        # only slots whose host metadata has retired: in autonomous mode the
+        # device KF counter runs ahead of uuid/creator assignment, and a
+        # slot registered before its creator is known would be mis-skipped
+        # by the own-KF bookkeeping forever (slots enter _db_slots once)
+        n = min(int(self.map.n_kf), self.tracker.n_kf_host)
         valid = np.asarray(self.map.kf_valid[:n])
         new_slots = [s for s in range(n)
                      if s not in self._db_slots and valid[s]]
@@ -359,6 +391,9 @@ class SlamAgent:
     def _attempt_merge(self, peer_id: int, blob: bytes, candidate_uuids):
         """Deserialize a foreign map and try Sim3 merge on the candidate
         keyframes (`System::AddSerializedMapToTryMerge` + LoopClosing merge)."""
+        # map surgery ahead: leave the device-autonomous lane (auto_mode
+        # re-enters automatically on the next healthy frame)
+        self.tracker.exit_autonomous()
         self.tracker.flush_meta()
         if self.peers[peer_id].successfully_merged:
             return False  # a second in-flight copy of an already-done merge
@@ -427,6 +462,9 @@ class SlamAgent:
         lower id, re-base our whole map into their frame first and announce
         the frame change to our current group (`:920-999`)."""
         fc = self.config.frontend
+        t_merge0 = time.perf_counter()
+        # a newer merge supersedes any in-flight GBA (mbStopGBA role)
+        self._abort_gba("superseded_by_merge")
         if peer_id < self.agent_id:
             S_ba = lie.sim3_inv(jnp.asarray(S_ab))  # my world -> their world
             self._apply_frame_change(peer_id, S_ba)
@@ -452,16 +490,17 @@ class SlamAgent:
         )
         if self.post_merge_pose_graph:
             merged = self._run_pose_graph(merged, weld_kf, poses_pre)
-        if self.post_merge_global_ba:
-            # full-map GBA (matrix-free Schur PCG — no KF/point truncation),
-            # the role of the reference's GBA thread (LoopClosing.cc:1796)
-            merged, _ = local_mapping.global_ba(
-                merged, self.tracker.K, iters=8,
-                n_levels=fc.n_levels, scale_factor=fc.scale_factor,
-            )
         self.tracker.map = merged
         self.tracker.meta = meta
         self.tracker.n_kf_host = int(merged.n_kf)
+        if self.post_merge_global_ba:
+            # full-map GBA (matrix-free Schur PCG — no KF/point truncation),
+            # the role of the reference's *detached* GBA thread
+            # (LoopClosing.cc:1796): dispatch asynchronously — the device
+            # stream runs it behind the protocol's own work, the host does
+            # NOT block; run_once polls and folds the result in at retire
+            # (see _poll_gba / local_mapping.apply_gba_correction)
+            self._dispatch_gba(merged, weld_kf)
 
         peer = self.peers[peer_id]
         peer.successfully_merged = True
@@ -484,6 +523,10 @@ class SlamAgent:
             ),
         )
         self.log.append(("merged", peer_id))
+        # merge-path latency EXCLUDING the async GBA (which runs behind the
+        # protocol loop) — the number the reference's threading hides too
+        self.log.append(
+            ("merge_latency_s", round(time.perf_counter() - t_merge0, 4)))
 
     def _run_pose_graph(self, m, anchor_kf: int, poses_pre):
         """Sim3 essential-graph optimization over the merged map
@@ -531,9 +574,73 @@ class SlamAgent:
             pt_pos=pts,
         )
 
+    # ------------------------------------------------------------------
+    # asynchronous post-merge global BA (`LoopClosing.cc:1796-1799`:
+    # `new thread(&LoopClosing::RunGlobalBundleAdjustment, ...)` with the
+    # `mbStopGBA` abort). On TPU the "thread" is the device's async
+    # dispatch stream: the host enqueues the full-map solve and keeps
+    # running the protocol loop; the poll folds the result into the live
+    # (possibly grown) map, and any rebase/splice/newer merge aborts it.
+    # ------------------------------------------------------------------
+
+    def _dispatch_gba(self, merged, weld_kf: int):
+        fc = self.config.frontend
+        res, _ = local_mapping.global_ba(
+            merged, self.tracker.K, iters=8,
+            n_levels=fc.n_levels, scale_factor=fc.scale_factor,
+        )
+        self._pending_gba = {
+            "res_pose": res.kf_pose, "res_pt": res.pt_pos,
+            "n_kf": int(merged.n_kf), "n_pt": int(merged.n_pt),
+            "anchor": int(weld_kf), "t0": time.perf_counter(),
+        }
+
+    def _gba_ready(self):
+        pg = self._pending_gba
+        try:
+            return pg["res_pose"].is_ready() and pg["res_pt"].is_ready()
+        except AttributeError:  # backends without is_ready: treat as done
+            return True
+
+    def _poll_gba(self, block: bool = False):
+        if self._pending_gba is None:
+            return
+        if not block and not self._gba_ready():
+            return
+        pg, self._pending_gba = self._pending_gba, None
+        # map surgery: leave the autonomous lane first (auto_mode re-enters)
+        self.tracker.exit_autonomous()
+        self.tracker.flush_meta()
+        if int(self.map.n_kf) < pg["n_kf"]:
+            # the live map shrank (atlas stash-on-LOST swapped in a fresh
+            # submap): the snapshot no longer describes these slots
+            self.log.append(("gba_aborted", "map_replaced"))
+            return
+        self.tracker.map = local_mapping.apply_gba_correction(
+            self.map, pg["res_pose"], pg["res_pt"],
+            jnp.int32(pg["n_kf"]), jnp.int32(pg["n_pt"]),
+            jnp.int32(pg["anchor"]),
+        )
+        self.log.append(("gba_applied",
+                         round(time.perf_counter() - pg["t0"], 4)))
+
+    def flush_gba(self):
+        """Block until any in-flight global BA is folded in (end-of-run /
+        pre-evaluation barrier)."""
+        self._poll_gba(block=True)
+
+    def _abort_gba(self, reason: str):
+        """`mbStopGBA` role: a newer merge / rebase / splice supersedes the
+        in-flight solve — drop it (the device result is discarded)."""
+        if self._pending_gba is not None:
+            self._pending_gba = None
+            self.log.append(("gba_aborted", reason))
+
     def _apply_frame_change(self, parent_agent_id: int, S):
         """Re-base my map + trajectory into a peer's frame and re-parent the
         frame tree (`receiveChangeCoordinateFrame`, `:951-999`)."""
+        self._abort_gba("frame_change")
+        self.tracker.exit_autonomous()
         self.tracker.map = merge_mod.transform_map(self.map, S)
         # current pose: T_cw' composes with S^-1 like keyframe poses
         Sc = lie.sim3_mul(lie.sim3_from_se3(self.tracker.last_pose), lie.sim3_inv(S))
@@ -623,6 +730,7 @@ class SlamAgent:
     def _receive_new_key_frames(self, m: msgs.NewKeyFrames):
         """External keyframe ingestion (`:386-455` + `LocalMapping.cc:302-354`):
         uuid-relinked splice, duplicate fusion, one local BA after the batch."""
+        self.tracker.exit_autonomous()
         self.tracker.flush_meta()
         packet = codec.MapPacket.from_bytes(m.serialized_map)
         if packet.n_kf == 0:
@@ -660,6 +768,7 @@ class SlamAgent:
     def _srv_get_current_map(self, caller, req: msgs.GetCurrentMapRequest):
         """`handleGetCurrentMapRequest` (`:150-172`): deep-copied map pruned
         to own-creator keyframes."""
+        self.tracker.drain_auto()
         self.tracker.flush_meta()
         own = self._own_kf_slots()
         mask = np.zeros(self.map.kf_capacity, bool)
@@ -671,6 +780,7 @@ class SlamAgent:
         )
 
     def _srv_get_map_points(self, caller, req):
+        self.tracker.drain_auto()
         self.tracker.flush_meta()
         n = int(self.map.n_pt)
         valid = np.asarray(self.map.pt_valid[:n])
@@ -684,6 +794,7 @@ class SlamAgent:
     # ------------------------------------------------------------------
 
     def _update_map_scale(self, ts):
+        self.tracker.drain_auto()
         self.tracker.flush_meta()
         self._next_scale_ts = ts + self._scale_interval
         target = self.peers.lowest_merged_peer()
@@ -713,6 +824,11 @@ class SlamAgent:
             jnp.ones(len(src_idx), bool), num_hypotheses=500,
         )
         s = float(S[7])
+        # about to re-base the whole map: leave the autonomous lane so the
+        # device continuation is rebuilt from the transformed pose, and
+        # drop any in-flight GBA (its snapshot is in the old frame)
+        self._abort_gba("scale_realign")
+        self.tracker.exit_autonomous()
         self.tracker.map = merge_mod.transform_map(self.map, S)
         Sc = lie.sim3_mul(lie.sim3_from_se3(self.tracker.last_pose), lie.sim3_inv(S))
         self.tracker.last_pose = lie.se3(

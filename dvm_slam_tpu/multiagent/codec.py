@@ -67,7 +67,11 @@ def unpack_arrays(blob: bytes) -> dict:
         raise ValueError("corrupt packet: bogus raw length")
     d = zlib.decompressobj()
     raw = d.decompress(blob[8:], rawlen)
-    if len(raw) != rawlen or d.decompress(b"", 1):
+    # over-long streams leave unprocessed compressed input in unconsumed_tail
+    # (d.decompress(b"", 1) alone would NOT re-feed it, silently truncating);
+    # re-feeding the tail surfaces any extra decompressed bytes
+    extra = d.decompress(d.unconsumed_tail, 1) if d.unconsumed_tail else b""
+    if len(raw) != rawlen or extra or d.decompress(b"", 1):
         raise ValueError("corrupt packet: length mismatch")
     off = 0
     magic, n = struct.unpack_from("<II", raw, off)

@@ -77,8 +77,8 @@ def _gather_patches(img, xy, size: int):
 
 
 @jax.jit
-def orientations(img, xy):
-    """Intensity-centroid angle (radians) per keypoint, `IC_Angle` semantics.
+def moments(img, xy):
+    """Intensity-centroid moments (m01, m10) per keypoint (`IC_Angle`).
 
     img: raw (unblurred) pyramid level [H,W]; xy: [N,2] level coords.
     """
@@ -90,20 +90,42 @@ def orientations(img, xy):
     pm = patches * mask[None]
     m01 = jnp.sum(pm * ys, axis=(1, 2))
     m10 = jnp.sum(pm * xs, axis=(1, 2))
-    return jnp.arctan2(m01, m10)
+    return m01, m10
 
 
 @jax.jit
-def descriptors(img_blur, xy, angle):
+def orientations(img, xy):
+    """Intensity-centroid angle (radians) per keypoint, `IC_Angle` semantics."""
+    m01, m10 = moments(img, xy)
+    return jnp.arctan2(m01, m10)
+
+
+def _dir_from_moments(m01, m10):
+    """Unit steering direction (ca, sa) straight from the moments — the
+    algebraic form of (cos(atan2), sin(atan2)). Both descriptor paths
+    (this module and ops/pallas_orb.py) use EXACTLY this formulation so
+    the rotated-offset rounding is bit-identical across backends (an
+    atan2->cos/sin round trip differs between XLA and Mosaic transcendental
+    implementations and flips near-tie roundings)."""
+    rlen = jnp.sqrt(m01 * m01 + m10 * m10)
+    safe = rlen > 1e-9
+    inv = jnp.where(safe, 1.0 / jnp.where(safe, rlen, 1.0), 0.0)
+    return jnp.where(safe, m10 * inv, 1.0), jnp.where(safe, m01 * inv, 0.0)
+
+
+@jax.jit
+def descriptors(img_blur, xy, angle, ca=None, sa=None):
     """Steered rBRIEF: [N,256] uint8 bits in {0,1}.
 
     img_blur: Gaussian-blurred pyramid level [H,W]; xy [N,2] level coords;
     angle [N] radians. Pattern offsets are rotated by the keypoint angle and
     rounded to integers, exactly the reference's steering discretization
-    (`computeOrbDescriptor`'s `GET_VALUE`).
+    (`computeOrbDescriptor`'s `GET_VALUE`). Pass (ca, sa) from
+    `_dir_from_moments` for bit-parity with the Pallas kernel.
     """
     h, w = img_blur.shape
-    ca, sa = jnp.cos(angle), jnp.sin(angle)  # [N]
+    if ca is None:
+        ca, sa = jnp.cos(angle), jnp.sin(angle)  # [N]
     pat = jnp.asarray(PATTERN, img_blur.dtype)  # [256,4]
     px1, py1, px2, py2 = pat[:, 0], pat[:, 1], pat[:, 2], pat[:, 3]
 
@@ -126,6 +148,17 @@ def descriptors(img_blur, xy, angle):
     v1 = sample(px1, py1)
     v2 = sample(px2, py2)
     return (v1 < v2).astype(jnp.uint8)
+
+
+@jax.jit
+def orient_and_describe(img_raw, img_blur, xy):
+    """XLA sibling of `pallas_orb.orient_and_describe`: moments computed
+    once, steering direction algebraic — bit-parity contract with the
+    kernel (asserted on real TPU by bench.py)."""
+    m01, m10 = moments(img_raw, xy)
+    ca, sa = _dir_from_moments(m01, m10)
+    ang = jnp.arctan2(m01, m10)
+    return ang, descriptors(img_blur, xy, ang, ca=ca, sa=sa)
 
 
 def pack_descriptors(bits):

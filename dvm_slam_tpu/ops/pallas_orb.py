@@ -27,14 +27,20 @@ from . import orb_descriptor as od
 
 PATCH = 31           # orientation patch (radius 15)
 HALF = 15
-PAD_FLAT = 1024      # 31*31=961 padded to the lane width multiple
+BHALF = 19           # BRIEF sampling radius: rotated +-13 offsets reach
+BPATCH = 39          # ceil(13*sqrt(2)) = 19 (the reference's EDGE_THRESHOLD)
 
 
 def _constants():
-    mask = od._circular_mask_rows().astype(np.float32)      # [31,31]
-    r = HALF
-    ys = np.arange(-r, r + 1, dtype=np.float32)[:, None] * np.ones((1, PATCH), np.float32)
-    xs = np.arange(-r, r + 1, dtype=np.float32)[None, :] * np.ones((PATCH, 1), np.float32)
+    # constants live on the BPATCH grid; the orientation mask is the 31x31
+    # circular mask embedded centrally (zero ring outside radius 15)
+    mask31 = od._circular_mask_rows().astype(np.float32)    # [31,31]
+    mask = np.zeros((BPATCH, BPATCH), np.float32)
+    o = BHALF - HALF
+    mask[o:o + PATCH, o:o + PATCH] = mask31
+    r = BHALF
+    ys = np.arange(-r, r + 1, dtype=np.float32)[:, None] * np.ones((1, BPATCH), np.float32)
+    xs = np.arange(-r, r + 1, dtype=np.float32)[None, :] * np.ones((BPATCH, 1), np.float32)
     pat = od.PATTERN.astype(np.float32)                     # [256,4]
     return mask, ys, xs, pat
 
@@ -42,8 +48,8 @@ def _constants():
 _MASK, _YS, _XS, _PAT = _constants()
 
 
-WIN_R = 40    # row window: 31 + up to 7 alignment slack, multiple of 8
-WIN_C = 256   # col window: 31 + up to 127 alignment slack, multiple of 128
+WIN_R = 48    # row window: 39 + up to 7 alignment slack, multiple of 8
+WIN_C = 256   # col window: 39 + up to 127 alignment slack, multiple of 128
 
 
 def _kernel(xy_ref, raw_ref, blur_ref, mask_ref, ys_ref, xs_ref, pat_ref,
@@ -53,14 +59,16 @@ def _kernel(xy_ref, raw_ref, blur_ref, mask_ref, ys_ref, xs_ref, pat_ref,
     cy = xy_ref[n, 1]
 
     # HBM slices must be (8,128)-tile aligned: DMA an aligned window that
-    # contains the patch, then extract the 31x31 patch with one-hot
-    # row/column selection matmuls (gather-free).
-    r0 = ((cy - HALF) // 8) * 8
-    c0 = ((cx - HALF) // 128) * 128
+    # contains the 39x39 patch, then extract it with one-hot row/column
+    # selection matmuls (gather-free). Images arrive edge-padded by BHALF
+    # (see wrapper), so the patch is always in-bounds and patch-local
+    # sampling equals the XLA path's coordinate clipping.
+    r0 = ((cy - BHALF) // 8) * 8
+    c0 = ((cx - BHALF) // 128) * 128
     r0 = pl.multiple_of(r0, 8)
     c0 = pl.multiple_of(c0, 128)
-    dr = cy - HALF - r0     # 0..7
-    dc = cx - HALF - c0     # 0..127
+    dr = cy - BHALF - r0     # 0..7
+    dc = cx - BHALF - c0     # 0..127
 
     cp1 = pltpu.make_async_copy(
         raw_ref.at[pl.ds(r0, WIN_R), pl.ds(c0, WIN_C)], raw_win, sem.at[0]
@@ -73,22 +81,24 @@ def _kernel(xy_ref, raw_ref, blur_ref, mask_ref, ys_ref, xs_ref, pat_ref,
     cp1.wait()
     cp2.wait()
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (PATCH, WIN_R), 1)
-    rowsel = (rows == (jax.lax.broadcasted_iota(jnp.int32, (PATCH, WIN_R), 0) + dr)).astype(jnp.float32)
-    colsI = jax.lax.broadcasted_iota(jnp.int32, (WIN_C, PATCH), 0)
-    colsel = (colsI == (jax.lax.broadcasted_iota(jnp.int32, (WIN_C, PATCH), 1) + dc)).astype(jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BPATCH, WIN_R), 1)
+    rowsel = (rows == (jax.lax.broadcasted_iota(jnp.int32, (BPATCH, WIN_R), 0) + dr)).astype(jnp.float32)
+    colsI = jax.lax.broadcasted_iota(jnp.int32, (WIN_C, BPATCH), 0)
+    colsel = (colsI == (jax.lax.broadcasted_iota(jnp.int32, (WIN_C, BPATCH), 1) + dc)).astype(jnp.float32)
 
     def extract(win_ref):
         a = jax.lax.dot_general(
             rowsel, win_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [31, WIN_C]
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [39, WIN_C]
         return jax.lax.dot_general(
             a, colsel,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [31,31]
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [39,39]
 
     raw_patch = extract(raw_win)
     blur_patch = extract(blur_win)
@@ -117,16 +127,17 @@ def _kernel(xy_ref, raw_ref, blur_ref, mask_ref, ys_ref, xs_ref, pat_ref,
         # rotated integer offsets (same rounding as the XLA path), then a
         # row/column one-hot "gather as two matmuls":
         #   v[s] = sum_j (rowOH @ patch)[s, j] * colOH[s, j]
-        rx = jnp.round(px * ca - py * sa).astype(jnp.int32) + HALF  # [256]
-        ry = jnp.round(px * sa + py * ca).astype(jnp.int32) + HALF
-        rows = jax.lax.broadcasted_iota(jnp.int32, (256, PATCH), 1)
-        row_oh = (rows == ry[:, None]).astype(jnp.float32)    # [256,31]
+        rx = jnp.round(px * ca - py * sa).astype(jnp.int32) + BHALF  # [256]
+        ry = jnp.round(px * sa + py * ca).astype(jnp.int32) + BHALF
+        rows = jax.lax.broadcasted_iota(jnp.int32, (256, BPATCH), 1)
+        row_oh = (rows == ry[:, None]).astype(jnp.float32)    # [256,39]
         col_oh = (rows == rx[:, None]).astype(jnp.float32)
         picked = jax.lax.dot_general(
             row_oh, blur_patch,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                      # [256,31]
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                      # [256,39]
         return jnp.sum(picked * col_oh, axis=1)                # [256]
 
     v1 = sample(px1, py1)
@@ -144,12 +155,19 @@ def orient_and_describe(img_raw, img_blur, xy, interpret: bool = False):
     n = xy.shape[0]
     cx = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), HALF, w - HALF - 1)
     cy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), HALF, h - HALF - 1)
-    xy_i = jnp.stack([cx, cy], axis=-1)
-    # pad so every aligned DMA window stays in bounds
-    hp = ((h + 7) // 8) * 8 + WIN_R
-    wp = ((w + 127) // 128) * 128 + WIN_C
-    img_raw = jnp.pad(img_raw, ((0, hp - h), (0, wp - w)))
-    img_blur = jnp.pad(img_blur, ((0, hp - h), (0, wp - w)))
+    # Edge-pad by BHALF: patch-local BRIEF sampling in the padded image is
+    # then bit-identical to the XLA path's clip-to-image-bounds sampling
+    # (clipping == edge replication), and every radius-19 patch is in-bounds
+    # even for keypoints at the detection border (BORDER=16 < BHALF=19).
+    xy_i = jnp.stack([cx + BHALF, cy + BHALF], axis=-1)
+    img_raw = jnp.pad(img_raw, BHALF, mode="edge")
+    img_blur = jnp.pad(img_blur, BHALF, mode="edge")
+    h2, w2 = h + 2 * BHALF, w + 2 * BHALF
+    # zero-pad so every aligned DMA window stays in bounds
+    hp = ((h2 + 7) // 8) * 8 + WIN_R
+    wp = ((w2 + 127) // 128) * 128 + WIN_C
+    img_raw = jnp.pad(img_raw, ((0, hp - h2), (0, wp - w2)))
+    img_blur = jnp.pad(img_blur, ((0, hp - h2), (0, wp - w2)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

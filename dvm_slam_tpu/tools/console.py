@@ -92,6 +92,8 @@ def run_synthetic(n_agents=2, n_frames=80, out_dir="out_synth", seed=3,
             pose = agents[aid].process_image(np.asarray(img), ts)
             if pose is not None:
                 gt[aid].append((ts, np.asarray(pose), traj[i]))
+    for a in agents.values():
+        a.flush()  # end of stream: dispatch buffered frames, retire flags
     for e in range(6):
         for a in agents.values():
             a.run_once((t + 1 + e) * 0.1)
@@ -147,14 +149,24 @@ def run_dataset(dataset_root, fmt="euroc", settings_path=None, n_agents=2,
             except StopIteration:
                 done[ai] = True
                 continue
-            pose = a.process_image(img, ts - stamps0[ai])
-            if pose is not None and gt_poses is not None:
-                i = int(np.argmin(np.abs(gt_poses[0] - ts)))
-                if abs(gt_poses[0][i] - ts) < 0.05:
-                    gt[aid].append((ts, np.asarray(pose), gt_poses[1][i]))
+            a.process_image(img, ts - stamps0[ai])
+    for a in agents.values():
+        a.flush()  # end of stream: dispatch buffered frames, retire flags
     for e in range(6):
         for a in agents.values():
             a.run_once(1e9 + e)
+    # pair ground truth AFTER the run from the (drained) per-frame
+    # trajectory — the streamed return pose runs up to auto_batch +
+    # async_depth frames stale in the production autonomous mode, exactly
+    # like the reference's offline evo evaluation pairs from recorded bags
+    if gt_poses is not None:
+        for ai, (aid, a) in enumerate(sorted(agents.items())):
+            a.tracker.exit_autonomous()
+            for ts_rel, pose, _state in a.tracker.trajectory:
+                ts = ts_rel + stamps0[ai]
+                i = int(np.argmin(np.abs(gt_poses[0] - ts)))
+                if abs(gt_poses[0][i] - ts) < 0.05:
+                    gt[aid].append((ts, np.asarray(pose), gt_poses[1][i]))
     record_run(out_dir, agents, bus, gt)
     return evaluate(out_dir) if gt_path else {"run_dir": out_dir}
 
@@ -220,6 +232,9 @@ def record_run(out_dir, agents, bus, gt):
     from ..io import trajectory as traj_mod, viz
 
     os.makedirs(out_dir, exist_ok=True)
+    for a in agents.values():
+        a.flush_gba()  # end-of-run barrier for any in-flight global BA
+        a.tracker.drain_auto()
     for aid, a in agents.items():
         traj_mod.save_tum(os.path.join(out_dir, f"robot{aid}_trajectory.txt"),
                           a.tracker.trajectory)

@@ -316,6 +316,26 @@ def autonomous_step(img, m: map_state.MapState, st: AutoState, K, dist,
                              good=good)
 
 
+@partial(jax.jit, static_argnames=("config", "mapper_cfg"))
+def autonomous_step_batch(imgs, m: map_state.MapState, st: AutoState, K, dist,
+                          config: TrackerConfig, mapper_cfg: tuple):
+    """B autonomous frames in ONE dispatch (`lax.scan` over the device
+    step, carrying AutoState + the map). Depth-pipelining alone bottoms out
+    at the per-dispatch relay round-trip (~2.5 ms -> ~33 fps); batching B
+    frames per dispatch divides that fixed cost by B. Flags and poses come
+    back stacked [B] for the host to retire asynchronously.
+
+    Returns (map, state, AutoFlags stacked [B], poses [B,7])."""
+    def body(carry, img):
+        mm, ss = carry
+        mm, ss, flags = autonomous_step(img, mm, ss, K, dist, config,
+                                        mapper_cfg)
+        return (mm, ss), (flags, ss.T_cw)
+
+    (m, st), (flags, poses) = jax.lax.scan(body, (m, st), imgs)
+    return m, st, flags, poses
+
+
 @jax.jit
 def update_visibility(m: map_state.MapState, visible, found):
     """`MapPoint::IncreaseVisible/IncreaseFound` counters for culling."""
@@ -398,6 +418,20 @@ class MonocularTracker:
         self.autonomous = False
         self._auto_state = None
         self._auto_flags = []
+        # auto_mode: PRODUCTION switch — (re)enter autonomous whenever the
+        # visual tracker is OK (the reference always overlaps its tracking/
+        # mapping/loop threads, System.cc:209,226,245; this is the TPU
+        # equivalent, on by default via SystemSettings/SlamAgent). The host
+        # state machine keeps handling init/reloc/atlas/protocol work at
+        # retire time or while autonomous is suspended.
+        self.auto_mode = False
+        # auto_batch: frames per autonomous dispatch (lax.scan over the
+        # device step). The axon-tunnel relay charges ~2.5 ms per dispatch;
+        # B frames per dispatch divides that fixed cost by B, which is the
+        # lever that takes e2e past camera rate.
+        self.auto_batch = 1
+        self._auto_imgs = []     # buffered (img, ts) awaiting a full batch
+        self._atlas_check_pending = False
 
     def flush_meta(self):
         """Assign uuids to points the (asynchronously dispatched) mapper
@@ -426,13 +460,22 @@ class MonocularTracker:
             return self.process_frame(frame, timestamp)
         self.n_frames += 1
         self._cur_ts = timestamp
+        # production overlap: (re)enter the device-autonomous fast lane
+        # whenever tracking is healthy (auto_mode is the System/SlamAgent
+        # default for visual modes); the host state machine takes over again
+        # on loss, for reloc/atlas, and resumes here once OK
+        if (self.auto_mode and not self.autonomous and self.state == OK):
+            self.enter_autonomous()
         if getattr(self, "autonomous", False):
             return self._process_autonomous(img, timestamp)
         T_pred, v_pred = self._predict_pose()
         frame, res, pv, pf = make_and_track(img, self.map, T_pred, self.K,
                                             self.dist, self.config)
         if self.async_depth > 0 and not self.inertial:
-            pose = self._pipeline_push(frame, timestamp, res, vis=(pv, pf))
+            # NOTE: the (pv, pf) snapshot is only valid when a single frame
+            # is in flight; the pipelined retire path applies incremental
+            # visibility updates instead (see _retire_pipelined)
+            pose = self._pipeline_push(frame, timestamp, res)
         else:
             pose = self._track_resolve(frame, timestamp, T_pred, v_pred, res,
                                        vis=(pv, pf))
@@ -585,12 +628,16 @@ class MonocularTracker:
         self._lost_frames = 0
         self.state = OK
         self._last_good_ts = ts
-        if vis is not None:
-            self.map = self.map._replace(pt_visible=vis[0], pt_found=vis[1])
-        else:
-            self.map = update_visibility(self.map, res.visible, res.found)
+        # always apply the incremental visibility update: with async_depth
+        # frames in flight, a dispatch-time full-array snapshot would drop
+        # the other in-flight frames' increments (each retire would overwrite
+        # the counters with a stale snapshot)
+        self.map = update_visibility(self.map, res.visible, res.found)
         self.frames_since_kf += 1
         if self._need_new_keyframe(n_inl):
+            # stamp the retired frame's timestamp, not the newest dispatched
+            # one (_cur_ts runs up to async_depth frames ahead of the retire)
+            self._cur_ts = ts
             self._create_keyframe(frame, res)
 
     def flush_pipeline(self):
@@ -606,7 +653,7 @@ class MonocularTracker:
         `lax.cond` inside the per-frame dispatch, host bookkeeping catches
         up from async flag readbacks `async_depth` frames later. Requires
         an initialized visual (non-inertial) tracker."""
-        if self.state != OK or self.inertial:
+        if self.state != OK or self.inertial or self.local_mapper is None:
             return False
         fc = self.config.frontend
         mc = self.local_mapper
@@ -623,46 +670,135 @@ class MonocularTracker:
             kf_count=jnp.int32(mc._kf_count),
         )
         self._auto_flags = []
+        self._auto_imgs = []
         self.autonomous = True
         return True
 
     def _process_autonomous(self, img, timestamp: float):
-        m, st, flags = autonomous_step(
-            jnp.asarray(img, jnp.float32), self.map, self._auto_state,
-            self.K, self.dist, self.config, self._auto_cfg,
-        )
+        B = max(int(self.auto_batch), 1)
+        if B <= 1:
+            m, st, flags = autonomous_step(
+                img, self.map, self._auto_state,
+                self.K, self.dist, self.config, self._auto_cfg,
+            )
+            self._push_auto_record(m, st, [timestamp], flags, st.T_cw)
+        else:
+            self._auto_imgs.append((img, timestamp))
+            if len(self._auto_imgs) >= B:
+                imgs = jnp.stack([im for im, _ in self._auto_imgs])
+                tss = [t for _, t in self._auto_imgs]
+                self._auto_imgs = []
+                m, st, flags, poses = autonomous_step_batch(
+                    imgs, self.map, self._auto_state,
+                    self.K, self.dist, self.config, self._auto_cfg,
+                )
+                self._push_auto_record(m, st, tss, flags, poses)
+        # retire eagerly once a record's flags are device-ready (keeps the
+        # host mirrors ~one batch behind so the protocol loop sees fresh
+        # keyframes), with the depth bound as the blocking backstop
+        while (self.autonomous and self._auto_flags
+               and (self._record_ready(self._auto_flags[0])
+                    or self._pending_auto_frames() > max(self.async_depth, 1))):
+            if self._retire_auto_record():
+                # hand control back to the host state machine (reloc/atlas)
+                self.exit_autonomous(drain=False)
+        if self._atlas_check_pending and self.autonomous:
+            self._atlas_check_pending = False
+            self.drain_auto()
+            if self.autonomous:
+                self._atlas_merge_back()
+        return self._auto_state.T_cw
+
+    def _push_auto_record(self, m, st, tss, flags, poses):
         self.map = m
         self._auto_state = st
         for leaf in flags:
             leaf.copy_to_host_async()
-        self._auto_flags.append((timestamp, flags))
-        while len(self._auto_flags) > max(self.async_depth, 1) and self.autonomous:
-            self._retire_auto()
-        self.trajectory.append((timestamp, st.T_cw, self.state))
-        return st.T_cw
+        poses.copy_to_host_async()
+        self._auto_flags.append((tss, flags, len(tss), poses))
 
-    def _retire_auto(self):
-        ts, flags = self._auto_flags.pop(0)
-        if bool(flags.made_kf):
-            s = self.n_kf_host
-            self.n_kf_host += 1
-            self.meta.kf_uuid[s] = self.meta.new_uuids(1)[0]
-            self.meta.kf_creator[s] = self.meta.agent_id
-            self.last_kf_slot = s
-            self.kf_timestamps[s] = ts
-            self.ref_kf_tracked = int(flags.n_inliers)
-            self.meta_dirty = True
-            if self.local_mapper is not None:
-                self.local_mapper._kf_count += 1
-        if not bool(flags.good):
-            self._lost_frames += 1
-            self.state = RECENTLY_LOST if self.state == OK else LOST
-            # hand control back to the host state machine (reloc / atlas)
-            self.exit_autonomous(drain=False)
-        else:
-            self._lost_frames = 0
-            self.state = OK
-            self._last_good_ts = ts
+    def _pending_auto_frames(self):
+        return sum(rec[2] for rec in self._auto_flags)
+
+    @staticmethod
+    def _record_ready(rec):
+        """Non-blocking: True when a dispatched record's flags have landed
+        on the host (its retire will not stall the pipeline)."""
+        try:
+            return rec[1].made_kf.is_ready() and rec[3].is_ready()
+        except AttributeError:  # backend without is_ready: treat as done
+            return True
+
+    def _retire_auto_record(self):
+        """Fold one dispatched record (1..B frames) back into the host
+        mirrors: trajectory rows, keyframe metadata, state machine.
+        Returns True when the host must leave autonomous mode (the record
+        ends with a lost frame and the device chain did not recover)."""
+        tss, flags, n, poses = self._auto_flags.pop(0)
+        made = np.atleast_1d(np.asarray(flags.made_kf))
+        good = np.atleast_1d(np.asarray(flags.good))
+        ninl = np.atleast_1d(np.asarray(flags.n_inliers))
+        poses_np = np.atleast_2d(np.asarray(poses))
+        for i in range(n):
+            ts = tss[i]
+            # record only tracked frames (host-path parity: a lost frame
+            # returns None and leaves no trajectory row — the device chain
+            # holds the last pose on bad frames, and recording that frozen
+            # pose would poison the evaluated trajectory)
+            if good[i] and i < poses_np.shape[0]:
+                self.trajectory.append((ts, poses_np[i], OK))
+            if made[i]:
+                s = self.n_kf_host
+                self.n_kf_host += 1
+                self.meta.kf_uuid[s] = self.meta.new_uuids(1)[0]
+                self.meta.kf_creator[s] = self.meta.agent_id
+                self.last_kf_slot = s
+                self.kf_timestamps[s] = ts
+                self.ref_kf_tracked = int(ninl[i])
+                self.meta_dirty = True
+                if self.local_mapper is not None:
+                    self.local_mapper._kf_count += 1
+                if self.atlas is not None and self.atlas.inactive:
+                    self._atlas_check_pending = True
+            if not good[i]:
+                self._lost_frames += 1
+                self.state = RECENTLY_LOST if self.state == OK else LOST
+            else:
+                self._lost_frames = 0
+                self.state = OK
+                self._last_good_ts = ts
+        # exit only when the record ENDS lost: a mid-batch bad frame the
+        # device chain recovered from (it holds pose + resets the motion
+        # model, mirroring RECENTLY_LOST) does not need host intervention
+        return not bool(good[-1])
+
+    def drain_auto(self):
+        """Retire every pending autonomous record (and dispatch any frames
+        still buffered for a batch) so the host mirrors are current, WITHOUT
+        leaving autonomous mode unless a frame was lost. Call before any
+        host-side map surgery (merge / splice / rebase / serialization)."""
+        if not getattr(self, "autonomous", False):
+            return
+        self._flush_auto_buffer()
+        while self._auto_flags and self.autonomous:
+            if self._retire_auto_record():
+                self.exit_autonomous(drain=False)
+        if self.autonomous:
+            # sync the host pose mirrors for consumers (save/merge paths)
+            st = self._auto_state
+            self.last_pose = st.T_cw
+            self.velocity = st.velocity
+            self.frames_since_kf = int(st.frames_since_kf)
+
+    def _flush_auto_buffer(self):
+        """Dispatch frames buffered for a partial batch one at a time."""
+        for img, ts in self._auto_imgs:
+            m, st, flags = autonomous_step(
+                img, self.map, self._auto_state,
+                self.K, self.dist, self.config, self._auto_cfg,
+            )
+            self._push_auto_record(m, st, [ts], flags, st.T_cw)
+        self._auto_imgs = []
 
     def exit_autonomous(self, drain: bool = True):
         """Leave autonomous mode, folding device state back into the host
@@ -671,27 +807,41 @@ class MonocularTracker:
             return
         self.autonomous = False
         if drain:
+            for img, ts in self._auto_imgs:
+                m, st, flags = autonomous_step(
+                    img, self.map, self._auto_state,
+                    self.K, self.dist, self.config, self._auto_cfg,
+                )
+                self._push_auto_record(m, st, [ts], flags, st.T_cw)
+            self._auto_imgs = []
             while self._auto_flags:
-                ts, flags = self._auto_flags.pop(0)
-                if bool(flags.made_kf):
-                    s = self.n_kf_host
-                    self.n_kf_host += 1
-                    self.meta.kf_uuid[s] = self.meta.new_uuids(1)[0]
-                    self.meta.kf_creator[s] = self.meta.agent_id
-                    self.last_kf_slot = s
-                    self.kf_timestamps[s] = ts
-                    self.ref_kf_tracked = int(flags.n_inliers)
-                    self.meta_dirty = True
-                    if self.local_mapper is not None:
-                        self.local_mapper._kf_count += 1
-                if bool(flags.good):
-                    self._last_good_ts = ts
+                self._retire_auto_record()
         else:
             self._auto_flags = []
+            self._auto_imgs = []
         st = self._auto_state
         self.last_pose = st.T_cw
         self.velocity = st.velocity
         self.frames_since_kf = int(st.frames_since_kf)
+        # the device map is the source of truth for the KF count: pending
+        # flags dropped by drain=False may have carried made_kf=True, and
+        # the device chain already appended those keyframes. Resync the host
+        # mirror (one readback when leaving autonomous is fine) and stamp
+        # metadata for any slots the flag retire never covered — otherwise
+        # every later host keyframe operation addresses the wrong slot.
+        dev_n = int(self.map.n_kf)
+        ts_fallback = self._last_good_ts if self._last_good_ts is not None \
+            else self._cur_ts
+        while self.n_kf_host < dev_n:
+            s = self.n_kf_host
+            self.n_kf_host += 1
+            self.meta.kf_uuid[s] = self.meta.new_uuids(1)[0]
+            self.meta.kf_creator[s] = self.meta.agent_id
+            self.last_kf_slot = s
+            self.kf_timestamps[s] = ts_fallback
+            self.meta_dirty = True
+            if self.local_mapper is not None:
+                self.local_mapper._kf_count += 1
 
     # -- initialization -----------------------------------------------------
 
@@ -1028,30 +1178,41 @@ class MonocularTracker:
             self._imu_kf = []
         if self.local_mapper is not None:
             self.local_mapper.on_new_keyframe(self, s)
-        # atlas merge-back: weld the fresh submap into a stored one when
-        # place recognition + Sim3 verification succeed (LoopClosing's
-        # active-to-stored map merge)
-        if self.atlas is not None and self.atlas.inactive:
-            self.flush_meta()
-            out = self.atlas.try_merge_back(self.map, self.meta, self.last_kf_slot)
-            if out is not None:
-                merged, meta, kf_map, S_ab, stored_ts = out
-                self.map = merged
-                self.meta = meta
-                self.n_kf_host = int(merged.n_kf)
-                Sj = jnp.asarray(S_ab)
-                Sc = lie.sim3_mul(lie.sim3_from_se3(self.last_pose), lie.sim3_inv(Sj))
-                self.last_pose = lie.se3(
-                    lie.sim3_q(Sc),
-                    lie.sim3_t(Sc) / jnp.maximum(lie.sim3_s(Sc), 1e-12),
+        self._atlas_merge_back()
+
+    def _atlas_merge_back(self):
+        """Atlas merge-back: weld the fresh submap into a stored one when
+        place recognition + Sim3 verification succeed (LoopClosing's
+        active-to-stored map merge). Called after every new keyframe on the
+        host path, and (drained) after autonomous-created keyframes."""
+        if self.atlas is None or not self.atlas.inactive:
+            return
+        self.flush_meta()
+        out = self.atlas.try_merge_back(self.map, self.meta, self.last_kf_slot)
+        if out is not None:
+            merged, meta, kf_map, S_ab, stored_ts = out
+            self.map = merged
+            self.meta = meta
+            self.n_kf_host = int(merged.n_kf)
+            Sj = jnp.asarray(S_ab)
+            Sc = lie.sim3_mul(lie.sim3_from_se3(self.last_pose), lie.sim3_inv(Sj))
+            self.last_pose = lie.se3(
+                lie.sim3_q(Sc),
+                lie.sim3_t(Sc) / jnp.maximum(lie.sim3_s(Sc), 1e-12),
+            )
+            self.velocity = lie.se3_identity()
+            new_ts = dict(stored_ts)
+            for slot, t in self.kf_timestamps.items():
+                ns = int(kf_map[slot])
+                if ns >= 0:
+                    new_ts[ns] = t
+            self.kf_timestamps = new_ts
+            self.last_kf_slot = int(kf_map[self.last_kf_slot])
+            if self.relocalizer is not None and hasattr(self.relocalizer, "reset"):
+                self.relocalizer.reset(self.config.kf_cap)  # slots changed
+            if self.autonomous:
+                # slot renumbering invalidated the device continuation
+                self._auto_state = self._auto_state._replace(
+                    T_cw=jnp.asarray(self.last_pose),
+                    velocity=jnp.asarray(self.velocity),
                 )
-                self.velocity = lie.se3_identity()
-                new_ts = dict(stored_ts)
-                for slot, t in self.kf_timestamps.items():
-                    ns = int(kf_map[slot])
-                    if ns >= 0:
-                        new_ts[ns] = t
-                self.kf_timestamps = new_ts
-                self.last_kf_slot = int(kf_map[self.last_kf_slot])
-                if self.relocalizer is not None and hasattr(self.relocalizer, "reset"):
-                    self.relocalizer.reset(self.config.kf_cap)  # slots changed

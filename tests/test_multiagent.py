@@ -150,8 +150,11 @@ def protocol_run():
             pose = agents[aid].process_image(np.asarray(img), ts)
             if pose is not None:
                 gt[aid].append((ts, traj[i]))
+    # end of stream: flush buffered autonomous frames + bookkeeping, then
     # drain in-flight protocol messages: the reference wrapper's run loop
     # spins forever; a few idle iterations play that role here
+    for a in agents.values():
+        a.flush()
     for extra in range(6):
         ts = (52 + extra) * 0.1
         for a in agents.values():

@@ -59,6 +59,8 @@ def three_agent_run():
             pose = agents[aid].process_image(np.asarray(img), ts)
             if pose is not None:
                 gt[aid].append((np.asarray(pose), traj[i]))
+    for a in agents.values():
+        a.flush()  # end of stream: dispatch buffered autonomous frames
     for e in range(8):
         for a in agents.values():
             a.run_once((steps + e) * 0.1)
