@@ -119,6 +119,8 @@ class MeshProtocolState(NamedTuple):
     db_valid: jnp.ndarray   # [K]
     merged: jnp.ndarray     # [A] merged-with flags (row of the merge matrix)
     last_seen: jnp.ndarray  # [A] int32: newest peer KF id already integrated
+    S_peer: jnp.ndarray     # [A,8] Sim3 peer-world -> my-world (q,t,s)
+    S_ok: jnp.ndarray       # [A] bool: Sim3 geometrically verified
 
 
 def create_protocol_state(kf_cap: int, n_words: int, n_agents: int):
@@ -127,6 +129,10 @@ def create_protocol_state(kf_cap: int, n_words: int, n_agents: int):
         db_valid=jnp.zeros((kf_cap,), bool),
         merged=jnp.zeros((n_agents,), bool),
         last_seen=jnp.full((n_agents,), -1, jnp.int32),
+        S_peer=jnp.tile(
+            jnp.asarray([1, 0, 0, 0, 0, 0, 0, 1], jnp.float32),
+            (n_agents, 1)),
+        S_ok=jnp.zeros((n_agents,), bool),
     )
 
 
@@ -155,57 +161,89 @@ def _add_keyframe_masked(m, pose, xy, level, angle, desc, feat_valid, obs,
 
 
 def build_protocol_step(mesh: Mesh, config: trk.TrackerConfig,
-                        voc: vocabulary.Vocabulary, fuse_after: bool = True):
+                        voc: vocabulary.Vocabulary, fuse_after: bool = True,
+                        window: int = 4,
+                        sim3_min_inliers: int = 20,
+                        proj_min_matches: int = 50,
+                        ransac_hypotheses: int = 200,
+                        match_max_dist: int = 60):
     """One collective protocol round, SPMD over the ("agent",) mesh — the
     on-mesh realization of the reference's per-frame wrapper loop
     (`orb_slam3_wrapper.cpp:131-148` sendNewKeyFrameBows/sendNewKeyFrames):
 
-      1. each slice BoW-transforms its newest keyframe and registers it in
-         its on-device database,
-      2. ONE `all_gather` broadcasts every agent's BoW (the NewKeyFrameBows
-         topic over ICI instead of DDS),
+      1. each slice BoW-transforms its `window` newest OWN keyframes and
+         registers them in its on-device database,
+      2. ONE `all_gather` broadcasts every agent's newest BoW (the
+         NewKeyFrameBows topic over ICI instead of DDS),
       3. each slice runs `DetectMergePossibility` (0.9x-baseline rule,
          `KeyFrameDatabase.cc:789`) against every peer BoW,
       4. a second tiny `all_gather` shares the per-agent merge rows; the
          merge matrix is closed symmetrically and transitively (implicit
          transitive merges, `orb_slam3_wrapper.cpp:684-707`),
-      5. every agent's newest-keyframe packet (pose + features + observed
-         point geometry — the NewKeyFrames payload) travels in the same
-         gathered tensors; slices splice packets from merged peers into
-         their own map (uuid-free on-mesh dedup: per-peer monotone KF ids),
-      6. optional duplicate fusion around the spliced keyframe
+      5. NO splice happens on BoW score alone: the first fresh packet from a
+         BoW-merged peer is verified GEOMETRICALLY — descriptor matches
+         between the peer's observed points and the local map feed a
+         batched Horn-Sim3 RANSAC (the `Sim3Solver` + inlier-gate role of
+         `LoopClosing.cc:644-780`; gates `proj_min_matches` matched pairs /
+         `sim3_min_inliers` RANSAC inliers, the nProjMatches=50 /
+         nSim3Inliers=20 constants). The accepted Sim3 (peer world -> my
+         world) is stored per peer and applied to every subsequent packet,
+         so agents may start in arbitrarily rotated/scaled frames,
+      6. a WINDOW of each agent's newest own keyframes travels per round
+         (pose + features + observed point geometry — the NewKeyFrames
+         payload): backlog created between protocol rounds is re-offered
+         until `last_seen` catches up, matching the host path's
+         all-unsent-keyframes dedup semantics (`orb_slam3_wrapper.cpp:
+         240-247`) for gaps up to `window` per round,
+      7. optional duplicate fusion around the spliced keyframe
          (`LocalMapping::SearchInNeighbors` role).
 
     Returns jitted fn:
-      (maps [A,...], states [A,...]) -> (maps', states', merge_matrix [A,A])
+      (maps [A,...], states [A,...], K [A,4], own_slots [A,window] int32
+       (-1 = empty, oldest -> newest), own_seqs [A,window] int32 monotone
+       per-agent own-keyframe ids, keys [A,2] uint32 RANSAC PRNG keys)
+        -> (maps', states', merge_matrix [A,A])
     """
+    from ..geometry import alignment, lie
     from ..mapping import local_mapping, map_state as ms
+    from ..ops import matching
     from ..placerec import database
 
     fc = config.frontend
     voc_levels, voc_idf = voc.device_arrays()
     branch, words = voc.branch, voc.n_words
     A = mesh.devices.size
+    Wn = window
 
-    def step(m, st, K, own_slot, own_seq):
+    def step(m, st, K, own_slots, own_seqs, keys):
         m1 = jax.tree.map(lambda x: x[0], m)
         st1 = jax.tree.map(lambda x: x[0], st)
         K1 = K[0]
+        slots_w = own_slots[0]       # [Wn] oldest -> newest, -1 = empty
+        seqs_w = own_seqs[0]         # [Wn]
+        key1 = keys[0]
         me = jax.lax.axis_index("agent")
 
-        # the agent's own newest keyframe (callers track it: spliced foreign
-        # keyframes must not be re-shared — creator gating,
+        # register the window's own keyframes (callers track own slots:
+        # spliced foreign keyframes must not be re-shared — creator gating,
         # `orb_slam3_wrapper.cpp:240-247`)
-        c = jnp.maximum(own_slot[0], 0)
-        bow = vocabulary.bow_vector(
-            voc_levels, voc_idf, m1.kf_desc[c], m1.kf_feat_valid[c],
-            branch, words,
-        )
         db = database.BowDatabase(bow=st1.db_bow, valid=st1.db_valid)
-        db = database.add(db, c, bow)
+        newest_bow = jnp.zeros((words,), jnp.float32)
+        for w in range(Wn):
+            cw = jnp.maximum(slots_w[w], 0)
+            bw = vocabulary.bow_vector(
+                voc_levels, voc_idf, m1.kf_desc[cw], m1.kf_feat_valid[cw],
+                branch, words,
+            )
+            has = slots_w[w] >= 0
+            db = database.BowDatabase(
+                bow=jnp.where(has, db.bow.at[cw].set(bw), db.bow),
+                valid=jnp.where(has, db.valid.at[cw].set(True), db.valid),
+            )
+            newest_bow = jnp.where(has, bw, newest_bow)
 
         # --- collective BoW advertisement (ICI all_gather) ---
-        all_bows = jax.lax.all_gather(bow, "agent")            # [A,W]
+        all_bows = jax.lax.all_gather(newest_bow, "agent")     # [A,W]
         covis = ms.covisibility(m1)
         ok_row, best_row, score_row, base_row = jax.vmap(
             lambda q: database.detect_merge_possibility(db, q, covis)
@@ -221,44 +259,95 @@ def build_protocol_step(mesh: Mesh, config: trk.TrackerConfig,
 
         # --- keyframe packet exchange (NewKeyFrames over ICI) ---
         F = fc.capacity
-        obs_c = m1.kf_obs[c]
-        pt_ok = (obs_c >= 0) & m1.pt_valid[jnp.clip(obs_c, 0)]
-        packet = dict(
-            kf_id=own_seq[0],
-            pose=m1.kf_pose[c],
-            xy=m1.kf_xy[c], level=m1.kf_level[c], angle=m1.kf_angle[c],
-            desc=m1.kf_desc[c], feat_valid=m1.kf_feat_valid[c] & (m1.n_kf > 0),
-            pt_pos=m1.pt_pos[jnp.clip(obs_c, 0)],
-            pt_ok=pt_ok,
-        )
+
+        def pack_one(c, seq):
+            cc = jnp.maximum(c, 0)
+            obs_c = m1.kf_obs[cc]
+            pt_ok = ((obs_c >= 0) & m1.pt_valid[jnp.clip(obs_c, 0)]
+                     & (c >= 0))
+            return dict(
+                kf_id=jnp.where(c >= 0, seq, -1),
+                pose=m1.kf_pose[cc],
+                xy=m1.kf_xy[cc], level=m1.kf_level[cc],
+                angle=m1.kf_angle[cc],
+                desc=m1.kf_desc[cc],
+                feat_valid=m1.kf_feat_valid[cc] & (c >= 0) & (m1.n_kf > 0),
+                pt_pos=m1.pt_pos[jnp.clip(obs_c, 0)],
+                pt_ok=pt_ok,
+            )
+
+        packet = jax.vmap(pack_one)(slots_w, seqs_w)   # [Wn,...] pytree
         g = {k: jax.lax.all_gather(v, "agent") for k, v in packet.items()}
+
+        # --- Sim3 geometric verification (LoopClosing.cc:644-780 role) ---
+        # newest valid window entry of each peer supplies the candidate
+        # correspondence set: peer observed points (their world) matched by
+        # descriptor against MY map points (my world) -> Horn-Sim3 RANSAC
+        newest_idx = jnp.argmax(
+            jnp.where(g["kf_id"] >= 0, g["kf_id"], -1), axis=1)  # [A]
+        S_peer, S_ok = st1.S_peer, st1.S_ok
+        for a in range(A):
+            wsel = newest_idx[a]
+            cand_desc = g["desc"][a][wsel]          # [F,256]
+            cand_pos = g["pt_pos"][a][wsel]         # [F,3]
+            cand_ok = g["pt_ok"][a][wsel]           # [F]
+            need = merged_row[a] & ~S_ok[a] & (jnp.int32(a) != me)
+            dist = matching.hamming_matrix(cand_desc, m1.pt_desc)  # [F,P]
+            mask = cand_ok[:, None] & m1.pt_valid[None, :]
+            idx, _, okm = matching.masked_best_match(
+                dist, mask, max_dist=match_max_dist, ratio=0.9)
+            n_match = jnp.sum(okm)
+            dst = m1.pt_pos[jnp.clip(idx, 0)]
+            S, inl, n_inl = alignment.ransac_umeyama(
+                jax.random.fold_in(jax.random.wrap_key_data(key1), a),
+                cand_pos, dst, okm, num_hypotheses=ransac_hypotheses,
+            )
+            passed = (need & (n_match >= proj_min_matches)
+                      & (n_inl >= sim3_min_inliers)
+                      & jnp.all(jnp.isfinite(S)))
+            S_peer = S_peer.at[a].set(jnp.where(passed, S, S_peer[a]))
+            S_ok = S_ok.at[a].set(S_ok[a] | passed)
 
         last_seen = st1.last_seen
         spliced_any = jnp.zeros((), bool)
         spliced_slot = jnp.int32(0)
         for a in range(A):  # static unroll over the (small) agent axis
-            fresh = g["kf_id"][a] > last_seen[a]
-            accept = merged_row[a] & fresh & (jnp.int32(a) != me)
-            take = g["pt_ok"][a] & accept
-            m1, slots = ms.add_points(
-                m1,
-                pos=g["pt_pos"][a],
-                desc=g["desc"][a],
-                normal=jnp.zeros((F, 3), m1.pt_pos.dtype),
-                min_dist=jnp.zeros((F,), m1.pt_pos.dtype),
-                max_dist=jnp.full((F,), 1e9, m1.pt_pos.dtype),
-                ref_kf=jnp.minimum(m1.n_kf, m1.kf_capacity - 1),
-                valid=take,
-            )
-            m1, slot = _add_keyframe_masked(
-                m1, g["pose"][a], g["xy"][a], g["level"][a], g["angle"][a],
-                g["desc"][a], g["feat_valid"][a], slots, accept,
-            )
-            last_seen = last_seen.at[a].set(
-                jnp.where(accept, g["kf_id"][a], last_seen[a])
-            )
-            spliced_any = spliced_any | accept
-            spliced_slot = jnp.where(accept, slot, spliced_slot)
+            Sa = S_peer[a]
+            for w in range(Wn):
+                fresh = g["kf_id"][a][w] > last_seen[a]
+                has = g["kf_id"][a][w] >= 0
+                accept = (merged_row[a] & S_ok[a] & fresh & has
+                          & (jnp.int32(a) != me))
+                take = g["pt_ok"][a][w] & accept
+                # frame alignment: packets arrive in the peer's world; the
+                # verified Sim3 maps them into mine
+                pos_al = jax.vmap(lambda x: lie.sim3_apply(Sa, x))(
+                    g["pt_pos"][a][w])
+                Sc = lie.sim3_mul(lie.sim3_from_se3(g["pose"][a][w]),
+                                  lie.sim3_inv(Sa))
+                pose_al = lie.se3(
+                    lie.sim3_q(Sc),
+                    lie.sim3_t(Sc) / jnp.maximum(lie.sim3_s(Sc), 1e-12))
+                m1, slots = ms.add_points(
+                    m1,
+                    pos=pos_al,
+                    desc=g["desc"][a][w],
+                    normal=jnp.zeros((F, 3), m1.pt_pos.dtype),
+                    min_dist=jnp.zeros((F,), m1.pt_pos.dtype),
+                    max_dist=jnp.full((F,), 1e9, m1.pt_pos.dtype),
+                    ref_kf=jnp.minimum(m1.n_kf, m1.kf_capacity - 1),
+                    valid=take,
+                )
+                m1, slot = _add_keyframe_masked(
+                    m1, pose_al, g["xy"][a][w], g["level"][a][w],
+                    g["angle"][a][w], g["desc"][a][w],
+                    g["feat_valid"][a][w], slots, accept,
+                )
+                last_seen = last_seen.at[a].set(
+                    jnp.where(accept, g["kf_id"][a][w], last_seen[a])
+                )
+                spliced_any = spliced_any | accept
+                spliced_slot = jnp.where(accept, slot, spliced_slot)
 
         if fuse_after:
             fused = local_mapping.fuse_duplicates(
@@ -271,14 +360,15 @@ def build_protocol_step(mesh: Mesh, config: trk.TrackerConfig,
             )
 
         st1 = MeshProtocolState(db_bow=db.bow, db_valid=db.valid,
-                                merged=merged_row, last_seen=last_seen)
+                                merged=merged_row, last_seen=last_seen,
+                                S_peer=S_peer, S_ok=S_ok)
         return (jax.tree.map(lambda x: x[None], m1),
                 jax.tree.map(lambda x: x[None], st1), M)
 
     in_specs = (
         jax.tree.map(lambda _: P("agent"), map_state_spec()),
         jax.tree.map(lambda _: P("agent"), protocol_state_spec(A)),
-        P("agent"), P("agent"), P("agent"),
+        P("agent"), P("agent"), P("agent"), P("agent"),
     )
     out_specs = (
         jax.tree.map(lambda _: P("agent"), map_state_spec()),

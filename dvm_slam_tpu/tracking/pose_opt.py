@@ -153,3 +153,114 @@ def pose_optimization(T_init, pts, uv, sigma2, valid, K,
     chi2, z = chi2_of(T)
     inliers = valid & (chi2 <= chi2_th) & (z > 0)
     return T, inliers, chi2
+
+
+@partial(jax.jit, static_argnames=("rounds", "iters"))
+def pose_inertial_optimization(
+    T_bw_init,    # [7] world->body SE3 of the current frame (initial)
+    v_init,       # [3] body velocity (world frame)
+    bg_init,      # [3] gyro bias
+    ba_init,      # [3] accel bias
+    T_bw_anchor,  # [7] world->body of the anchor keyframe (FIXED)
+    v_anchor,     # [3] anchor velocity (FIXED)
+    bg_anchor,    # [3] anchor gyro bias (random-walk reference)
+    ba_anchor,    # [3] anchor accel bias
+    pre,          # imu.Preintegrated: anchor -> current frame
+    pts,          # [N,3] world points (associated map points)
+    uv,           # [N,2] observed pixels
+    sigma2,       # [N] keypoint level variance
+    valid,        # [N] bool
+    K,            # [4] fx fy cx cy
+    T_cb,         # [7] camera-from-body extrinsic
+    gravity,      # [3]
+    rounds: int = 4,
+    iters: int = 6,
+    damping: float = 1e-3,
+):
+    """Per-frame pose-INERTIAL optimization: the role of
+    `Optimizer::PoseInertialOptimizationLastKeyFrame` (`Optimizer.cc:4181`;
+    the LastFrame variant `:4545` differs only in anchoring the previous
+    frame plus a marginalized prior — the keyframe anchor with the
+    preintegration chain from `_imu_kf` covers the tracking contract).
+
+    One 15-dof state (pose tangent 6, velocity 3, gyro bias 3, accel bias 3)
+    optimized against (a) monocular reprojection residuals with Huber +
+    chi2(2dof) reclassification over `rounds` rounds, (b) the 9-dof
+    preintegration edge to the fixed anchor, whitened by the inverse
+    Cholesky of the preintegration covariance (`EdgeInertial`), (c) bias
+    random-walk factors to the anchor biases whitened by the walk covariance
+    blocks (`EdgeGyroRW`/`EdgeAccRW`). Jacobians by forward-mode autodiff of
+    the retraction (the 15-wide tangent basis is trivially cheap at frame
+    scale).
+
+    Returns (T_bw, v, bg, ba, inliers [N] bool, chi2_vis [N])."""
+    from ..mapping.vi_ba import _whiten9, inertial_edge_residual
+
+    dtype = T_bw_init.dtype
+    info = 1.0 / jnp.maximum(sigma2, 1e-12)
+    W9 = _whiten9(pre.C[:9, :9].astype(dtype))
+    # walk information: whiten (bias_j - bias_i) by the accumulated walk
+    # covariance blocks (G2oTypes EdgeGyroRW/EdgeAccRW information)
+    def _whiten3(C3, eps=1e-12):
+        Cs = 0.5 * (C3 + C3.T) + eps * jnp.eye(3, dtype=dtype)
+        Lc = jnp.linalg.cholesky(Cs)
+        return jax.scipy.linalg.solve_triangular(
+            Lc, jnp.eye(3, dtype=dtype), lower=True)
+
+    Wg = _whiten3(pre.C[9:12, 9:12].astype(dtype))
+    Wa = _whiten3(pre.C[12:15, 12:15].astype(dtype))
+    g = jnp.asarray(gravity, dtype)
+
+    def vis_chi2(T_bw):
+        T_cw = lie.se3_mul(T_cb, T_bw)
+        r, z, _, _ = _residuals_and_planes(T_cw, pts, uv, K)
+        return jnp.sum(r * r, axis=-1) * info, z
+
+    def residual_vec(state, w_vis):
+        """Stacked whitened residual [2N + 9 + 6]; w_vis holds the frozen
+        per-observation robust weights of this iteration."""
+        T_bw, v, bg, ba = state
+        T_cw = lie.se3_mul(T_cb, T_bw)
+        r, _, _, _ = _residuals_and_planes(T_cw, pts, uv, K)
+        sw = jnp.sqrt(w_vis)
+        r_v = (r * sw[:, None]).reshape(-1)
+        r_i = W9 @ inertial_edge_residual(
+            T_bw_anchor, v_anchor, bg, ba, T_bw, v, pre, g)
+        r_b = jnp.concatenate([Wg @ (bg - bg_anchor), Wa @ (ba - ba_anchor)])
+        return jnp.concatenate([r_v, r_i, r_b])
+
+    def retract(state, dx):
+        T_bw, v, bg, ba = state
+        return (lie.se3_retract(T_bw, dx[:6]), v + dx[6:9],
+                bg + dx[9:12], ba + dx[12:15])
+
+    def gn_round(state, active):
+        def body(_, st):
+            chi2, z = vis_chi2(st[0])
+            rn = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+            w = info * jnp.minimum(1.0, HUBER_DELTA / rn) * active * (z > 0)
+            f = lambda dx: residual_vec(retract(st, dx), w)
+            r0 = f(jnp.zeros((15,), dtype))
+            J = jax.jacfwd(f)(jnp.zeros((15,), dtype))      # [M,15]
+            H = J.T @ J
+            b = J.T @ r0
+            H = H + damping * jnp.eye(15, dtype=dtype) * (
+                1.0 + jnp.trace(H) / 15.0)
+            dx = jnp.linalg.solve(H, -b)
+            dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx,
+                           jnp.zeros_like(dx))
+            return retract(st, dx)
+
+        return jax.lax.fori_loop(0, iters, body, state)
+
+    state = (T_bw_init, v_init, bg_init, ba_init)
+    active = valid.astype(dtype)
+    for _ in range(rounds):
+        state = gn_round(state, active)
+        chi2, z = vis_chi2(state[0])
+        inl = valid & (chi2 <= CHI2_MONO) & (z > 0)
+        active = inl.astype(dtype)
+
+    chi2, z = vis_chi2(state[0])
+    inliers = valid & (chi2 <= CHI2_MONO) & (z > 0)
+    return state[0], state[1], state[2], state[3], inliers, chi2

@@ -1006,7 +1006,54 @@ class MonocularTracker:
     def _track(self, frame: Frame, timestamp: float):
         T_pred, v_pred = self._predict_pose()
         res = track_frame(self.map, frame, T_pred, self.K, self.config)
+        # once the IMU is initialized the per-frame pose solve includes the
+        # preintegration factor + bias random walks
+        # (Optimizer::PoseInertialOptimizationLastKeyFrame role) — the
+        # visual-only solve above seeds it with matches + initial pose
+        if (self.inertial and self.imu_initialized and self._imu_kf
+                and self.last_kf_slot is not None
+                and int(res.n_inliers) >= self.config.min_track_inliers):
+            res, v_ref = self._pose_inertial_refine(frame, res, v_pred)
+            if v_ref is not None:
+                v_pred = v_ref
         return self._track_resolve(frame, timestamp, T_pred, v_pred, res)
+
+    def _pose_inertial_refine(self, frame: Frame, res: TrackResult, v_pred):
+        """15-dof per-frame refinement against the last keyframe's state:
+        `Optimizer::PoseInertialOptimizationLastKeyFrame` (Optimizer.cc:4181;
+        the LastFrame variant `:4545` is the same problem anchored one frame
+        back). Updates pose, velocity, and the running bias estimate."""
+        from ..geometry import imu as imu_mod
+
+        s = self.last_kf_slot
+        pre = self._cat_imu(self._imu_kf)
+        if pre is None:
+            return res, None
+        T_cb_inv = lie.se3_inv(self.T_cb)
+        T_bw0 = lie.se3_mul(T_cb_inv, res.T_cw)
+        T_bw_a = lie.se3_mul(T_cb_inv, self.map.kf_pose[s])
+        v0 = jnp.asarray(self.vel_w if v_pred is None else v_pred,
+                         jnp.float32)
+        v_a = jnp.asarray(self.kf_vel.get(s, np.zeros(3, np.float32)))
+        bg = jnp.asarray(self.bias_g)
+        ba = jnp.asarray(self.bias_a)
+        valid = res.obs >= 0
+        pts = self.map.pt_pos[jnp.clip(res.obs, 0)]
+        sigma2 = jnp.asarray(self.config.frontend.sigma2,
+                             jnp.float32)[frame.level]
+        T_bw, v, bg2, ba2, inl, _ = pose_opt.pose_inertial_optimization(
+            T_bw0, v0, bg, ba, T_bw_a, v_a, bg, ba, pre,
+            pts, frame.xy, sigma2, valid, self.K, self.T_cb,
+            jnp.asarray(imu_mod.GRAVITY),
+        )
+        self.bias_g = np.asarray(bg2, np.float32)
+        self.bias_a = np.asarray(ba2, np.float32)
+        res = res._replace(
+            T_cw=lie.se3_mul(self.T_cb, T_bw),
+            obs=jnp.where(inl, res.obs, -1),
+            n_inliers=jnp.sum(inl),
+        )
+        return res, np.asarray(v, np.float32)
 
     def _track_resolve(self, frame: Frame, timestamp: float, T_pred, v_pred,
                        res: TrackResult, vis=None):

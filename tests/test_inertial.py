@@ -107,3 +107,61 @@ class TestInertialOptimization:
         assert v_err < 0.05, f"velocity error {v_err}"
         bg_err = np.abs(np.asarray(out.bg[1:]) - true_bg).max()
         assert bg_err < 5e-3, f"gyro bias error {bg_err} (est {np.asarray(out.bg[-1])})"
+
+
+class TestPoseInertialOptimization:
+    """Per-frame pose-inertial solve (`Optimizer.cc:4181` role): with weak
+    texture (few visual observations) and a noisy predicted pose, the
+    preintegration factor must hold the pose where visual-only drifts."""
+
+    def test_inertial_factor_holds_pose_under_weak_texture(self, rng):
+        from dvm_slam_tpu.geometry import imu, lie
+        from dvm_slam_tpu.tracking import pose_opt
+
+        dt_total = 0.25
+        n_imu = 50
+        dts = np.full(n_imu, dt_total / n_imu, np.float32)
+        v0 = np.array([0.3, -0.1, 0.2], np.float32)
+        a_w = np.array([0.5, 0.2, -0.3], np.float32)
+        g = np.asarray(imu.GRAVITY)
+        acc_body = np.tile(a_w - g, (n_imu, 1)).astype(np.float32)
+        gyro = np.zeros((n_imu, 3), np.float32)
+        calib = imu.ImuCalib.create()
+        pre = imu.preintegrate(calib, jnp.asarray(acc_body),
+                               jnp.asarray(gyro), jnp.asarray(dts))
+
+        p1 = v0 * dt_total + 0.5 * a_w * dt_total ** 2
+        v1 = v0 + a_w * dt_total
+        T_bw_true = lie.se3(lie.quat_identity(), jnp.asarray(-p1))
+
+        K = jnp.asarray([260.0, 260.0, 160.0, 120.0])
+        N = 24
+        pts = rng.randn(N, 3).astype(np.float32) * 2 + [0, 0, 6]
+        pc = pts - p1
+        uv = np.stack([260 * pc[:, 0] / pc[:, 2] + 160,
+                       260 * pc[:, 1] / pc[:, 2] + 120], -1).astype(np.float32)
+        uv += rng.randn(N, 2).astype(np.float32) * 0.3
+        valid = np.zeros(N, bool)
+        valid[:6] = True  # 5-frame-low-texture-span class: 6 usable features
+        sigma2 = np.ones(N, np.float32)
+
+        T_bw0 = lie.se3_retract(
+            T_bw_true, jnp.asarray([0.05, -0.04, 0.06, 0.01, -0.02, 0.015]))
+        v_init = jnp.asarray(v1 + rng.randn(3).astype(np.float32) * 0.1)
+
+        Tv, _, _ = pose_opt.pose_optimization(
+            T_bw0, jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(sigma2),
+            jnp.asarray(valid), K)
+        T_bw, v, bg, ba, inl, _ = pose_opt.pose_inertial_optimization(
+            T_bw0, v_init, jnp.zeros(3), jnp.zeros(3),
+            lie.se3_identity(), jnp.asarray(v0), jnp.zeros(3), jnp.zeros(3),
+            pre, jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(sigma2),
+            jnp.asarray(valid), K, lie.se3_identity(), jnp.asarray(g))
+
+        err_v = float(jnp.linalg.norm(lie.se3_t(Tv) - lie.se3_t(T_bw_true)))
+        err_i = float(jnp.linalg.norm(lie.se3_t(T_bw) - lie.se3_t(T_bw_true)))
+        assert err_i < 1e-3, f"inertial pose error {err_i}"
+        assert err_i < err_v / 5, (
+            f"inertial ({err_i}) must beat visual-only ({err_v})")
+        assert float(jnp.linalg.norm(v - jnp.asarray(v1))) < 5e-3
+        assert int(jnp.sum(inl)) == 6

@@ -96,7 +96,9 @@ class TestProtocolOnMesh:
             maps.append(m)
             Ks.append(K)
 
-        step = multi_agent.build_protocol_step(mesh4, cfg, voc)
+        step = multi_agent.build_protocol_step(
+            mesh4, cfg, voc, window=1,
+            proj_min_matches=25, sim3_min_inliers=12)
         stacked = multi_agent.stack_agents(maps)
         # pre-register keyframe 0 of each agent (the step registers the
         # newest KF each round; earlier ones entered in earlier rounds)
@@ -113,11 +115,13 @@ class TestProtocolOnMesh:
             sts.append(st)
         states = multi_agent.stack_agents(sts)
         Kb = jnp.asarray(np.stack(Ks))
-        own_slot = jnp.ones((A,), jnp.int32)   # each agent's 2nd KF is own
-        own_seq = jnp.zeros((A,), jnp.int32)
+        own_slot = jnp.ones((A, 1), jnp.int32)  # each agent's 2nd KF is own
+        own_seq = jnp.zeros((A, 1), jnp.int32)
+        keys = jnp.asarray(rng.randint(0, 2 ** 31, (A, 2)), jnp.uint32)
 
         n_kf_before = np.asarray(stacked.n_kf).copy()
-        maps_out, states_out, M = step(stacked, states, Kb, own_slot, own_seq)
+        maps_out, states_out, M = step(stacked, states, Kb, own_slot,
+                                       own_seq, keys)
         M = np.asarray(M)
 
         # merge matrix: 0-2 mutually merged, 3 isolated
@@ -142,13 +146,14 @@ class TestProtocolOnMesh:
 
         # second round with fresh own keyframes: dedup lets new ones through
         own_seq2 = own_seq + 1
-        maps3, states3, M2 = step(maps_out, states_out, Kb, own_slot, own_seq2)
+        maps3, states3, M2 = step(maps_out, states_out, Kb, own_slot,
+                                  own_seq2, keys)
         n_kf_3 = np.asarray(maps3.n_kf)
         for a in range(3):
             assert n_kf_3[a] == n_kf_after[a] + 2  # two fresh peer KFs again
 
         # third round with STALE sequence ids: nothing new is spliced
-        maps4, _, _ = step(maps3, states3, Kb, own_slot, own_seq2)
+        maps4, _, _ = step(maps3, states3, Kb, own_slot, own_seq2, keys)
         assert np.array_equal(np.asarray(maps4.n_kf), n_kf_3)
 
     def test_spliced_points_match_source_geometry(self, mesh4):
@@ -166,8 +171,9 @@ class TestProtocolOnMesh:
             m, K = _agent_map(rng, pts, descs, F=fc.capacity)
             maps.append(m)
             Ks.append(K)
-        step = multi_agent.build_protocol_step(mesh4, cfg, voc,
-                                               fuse_after=False)
+        step = multi_agent.build_protocol_step(
+            mesh4, cfg, voc, fuse_after=False, window=1,
+            proj_min_matches=20, sim3_min_inliers=10)
         stacked = multi_agent.stack_agents(maps)
         lv, idf = voc.device_arrays()
         sts = []
@@ -180,9 +186,10 @@ class TestProtocolOnMesh:
                              db_valid=st.db_valid.at[0].set(True))
             sts.append(st)
         states = multi_agent.stack_agents(sts)
+        keys = jnp.asarray(rng.randint(0, 2 ** 31, (A, 2)), jnp.uint32)
         maps_out, _, M = step(stacked, states, jnp.asarray(np.stack(Ks)),
-                              jnp.ones((A,), jnp.int32),
-                              jnp.zeros((A,), jnp.int32))
+                              jnp.ones((A, 1), jnp.int32),
+                              jnp.zeros((A, 1), jnp.int32), keys)
         assert bool(np.asarray(M).all())
         # received points (slots beyond the original n_pt) lie on the shared
         # cloud: nearest-neighbor distance to the source positions ~ 0
@@ -194,6 +201,187 @@ class TestProtocolOnMesh:
         assert len(new_pts) > 0
         d = np.linalg.norm(new_pts[:, None, :] - pts[None, :, :], axis=-1)
         assert d.min(axis=1).max() < 1e-4
+
+
+class TestSim3OnMesh:
+    def test_rotated_scaled_frames_converge(self, mesh4):
+        """Agents observing the SAME scene but bootstrapped in different
+        world frames (rotated + scaled + translated): the on-mesh Sim3
+        verification must recover the frame offset and splice peer geometry
+        into the local frame (`LoopClosing.cc:644-780` role) — merging on
+        BoW score alone would corrupt both maps."""
+        rng = np.random.RandomState(3)
+        A = 4
+        fc = FrontendConfig(height=96, width=128, n_features=64, n_levels=2)
+        cfg = trk.TrackerConfig(frontend=fc, kf_cap=16, pt_cap=256, fps=10.0)
+        voc = _voc(rng)
+        pts = (rng.randn(60, 3) * 1.5 + [0, 0, 8]).astype(np.float32)
+        descs = (rng.rand(60, 256) > 0.5).astype(np.uint8)
+
+        # agent 1 lives in a transformed frame: x_b = G(x_a)
+        G = np.concatenate([
+            np.asarray(lie.so3_exp(jnp.asarray([0.1, -0.2, 0.3]))),
+            [0.5, -0.3, 0.8], [1.4],
+        ]).astype(np.float32)
+        Gj = jnp.asarray(G)
+        pts_b = np.asarray(jax.vmap(lambda x: lie.sim3_apply(Gj, x))(
+            jnp.asarray(pts)))
+
+        maps, Ks = [], []
+        for a in range(A):
+            if a == 1:
+                m, K = _agent_map(rng, pts_b, descs, F=fc.capacity)
+                # keyframe poses must also live in frame b: T_b = T_a G^-1
+                def to_b(T):
+                    Sc = lie.sim3_mul(lie.sim3_from_se3(T), lie.sim3_inv(Gj))
+                    return lie.se3(
+                        lie.sim3_q(Sc),
+                        lie.sim3_t(Sc) / jnp.maximum(lie.sim3_s(Sc), 1e-12))
+                m = m._replace(kf_pose=jax.vmap(to_b)(m.kf_pose))
+            else:
+                m, K = _agent_map(rng, pts, descs, F=fc.capacity)
+            maps.append(m)
+            Ks.append(K)
+
+        step = multi_agent.build_protocol_step(
+            mesh4, cfg, voc, fuse_after=False, window=1,
+            proj_min_matches=25, sim3_min_inliers=12)
+        stacked = multi_agent.stack_agents(maps)
+        lv, idf = voc.device_arrays()
+        sts = []
+        for a in range(A):
+            st = multi_agent.create_protocol_state(16, voc.n_words, A)
+            bow0 = vocabulary.bow_vector(
+                lv, idf, maps[a].kf_desc[0], maps[a].kf_feat_valid[0],
+                voc.branch, voc.n_words)
+            st = st._replace(db_bow=st.db_bow.at[0].set(bow0),
+                             db_valid=st.db_valid.at[0].set(True))
+            sts.append(st)
+        states = multi_agent.stack_agents(sts)
+        keys = jnp.asarray(rng.randint(0, 2 ** 31, (A, 2)), jnp.uint32)
+        n_before = np.asarray(stacked.n_kf).copy()
+        maps_out, states_out, M = step(
+            stacked, states, jnp.asarray(np.stack(Ks)),
+            jnp.ones((A, 1), jnp.int32), jnp.zeros((A, 1), jnp.int32), keys)
+        assert bool(np.asarray(M)[0, 1])
+
+        # agent 0 verified agent 1's Sim3: stored estimate ~ G^-1 (b -> a)
+        S01 = np.asarray(
+            jax.tree.map(lambda x: x[0], states_out).S_peer)[1]
+        assert bool(np.asarray(
+            jax.tree.map(lambda x: x[0], states_out).S_ok)[1])
+        Ginv = np.asarray(lie.sim3_inv(Gj))
+        assert abs(S01[7] - Ginv[7]) < 0.02 * Ginv[7], (
+            f"scale {S01[7]} vs {Ginv[7]}")
+
+        # agent 1's keyframe arrived in agent 0's frame: its spliced points
+        # coincide with agent 0's own world positions
+        m0 = jax.tree.map(lambda x: np.asarray(x[0]), maps_out)
+        n0 = 60
+        newly = m0.pt_valid.copy()
+        newly[:n0] = False
+        new_pts = m0.pt_pos[newly]
+        assert len(new_pts) > 0
+        d = np.linalg.norm(new_pts[:, None, :] - pts[None, :, :], axis=-1)
+        assert d.min(axis=1).max() < 1e-3, (
+            "peer geometry not mapped into the local frame")
+
+    def test_unverified_peer_not_spliced(self, mesh4):
+        """A peer whose packet cannot be geometrically verified (too few
+        descriptor matches) must NOT be spliced even if the BoW score says
+        merge — the nProjMatches/nSim3Inliers gate."""
+        rng = np.random.RandomState(4)
+        A = 4
+        fc = FrontendConfig(height=96, width=128, n_features=64, n_levels=2)
+        cfg = trk.TrackerConfig(frontend=fc, kf_cap=16, pt_cap=256, fps=10.0)
+        voc = _voc(rng)
+        pts = (rng.randn(60, 3) * 1.5 + [0, 0, 8]).astype(np.float32)
+        descs = (rng.rand(60, 256) > 0.5).astype(np.uint8)
+        maps, Ks = [], []
+        for a in range(A):
+            m, K = _agent_map(rng, pts, descs, F=fc.capacity)
+            maps.append(m)
+            Ks.append(K)
+        # impossible gate: more matches than points exist
+        step = multi_agent.build_protocol_step(
+            mesh4, cfg, voc, fuse_after=False, window=1,
+            proj_min_matches=1000, sim3_min_inliers=1000)
+        stacked = multi_agent.stack_agents(maps)
+        lv, idf = voc.device_arrays()
+        sts = []
+        for a in range(A):
+            st = multi_agent.create_protocol_state(16, voc.n_words, A)
+            bow0 = vocabulary.bow_vector(
+                lv, idf, maps[a].kf_desc[0], maps[a].kf_feat_valid[0],
+                voc.branch, voc.n_words)
+            st = st._replace(db_bow=st.db_bow.at[0].set(bow0),
+                             db_valid=st.db_valid.at[0].set(True))
+            sts.append(st)
+        states = multi_agent.stack_agents(sts)
+        keys = jnp.asarray(rng.randint(0, 2 ** 31, (A, 2)), jnp.uint32)
+        n_before = np.asarray(stacked.n_kf).copy()
+        maps_out, states_out, M = step(
+            stacked, states, jnp.asarray(np.stack(Ks)),
+            jnp.ones((A, 1), jnp.int32), jnp.zeros((A, 1), jnp.int32), keys)
+        # BoW says merge, geometry gate blocks the splice
+        assert bool(np.asarray(M)[0, 1])
+        assert np.array_equal(np.asarray(maps_out.n_kf), n_before)
+        assert not bool(np.asarray(states_out.S_ok).any())
+
+    def test_backlog_window_catches_up(self, mesh4):
+        """Keyframes created between protocol rounds are NOT skipped: a
+        window of unsent keyframes travels per round and last_seen advances
+        over all of them (`orb_slam3_wrapper.cpp:240-247` dedup semantics;
+        round-2 verdict: the old path jumped last_seen past the backlog)."""
+        rng = np.random.RandomState(5)
+        A = 4
+        fc = FrontendConfig(height=96, width=128, n_features=64, n_levels=2)
+        cfg = trk.TrackerConfig(frontend=fc, kf_cap=16, pt_cap=256, fps=10.0)
+        voc = _voc(rng)
+        pts = (rng.randn(60, 3) * 1.5 + [0, 0, 8]).astype(np.float32)
+        descs = (rng.rand(60, 256) > 0.5).astype(np.uint8)
+        maps, Ks = [], []
+        for a in range(A):
+            m, K = _agent_map(rng, pts, descs, F=fc.capacity)
+            maps.append(m)
+            Ks.append(K)
+        step = multi_agent.build_protocol_step(
+            mesh4, cfg, voc, fuse_after=False, window=2,
+            proj_min_matches=25, sim3_min_inliers=12)
+        stacked = multi_agent.stack_agents(maps)
+        lv, idf = voc.device_arrays()
+        sts = []
+        for a in range(A):
+            st = multi_agent.create_protocol_state(16, voc.n_words, A)
+            bow0 = vocabulary.bow_vector(
+                lv, idf, maps[a].kf_desc[0], maps[a].kf_feat_valid[0],
+                voc.branch, voc.n_words)
+            st = st._replace(db_bow=st.db_bow.at[0].set(bow0),
+                             db_valid=st.db_valid.at[0].set(True))
+            sts.append(st)
+        states = multi_agent.stack_agents(sts)
+        keys = jnp.asarray(rng.randint(0, 2 ** 31, (A, 2)), jnp.uint32)
+
+        # BOTH own keyframes (slots 0 and 1, seqs 0 and 1) offered in one
+        # round — the backlog case where two KFs landed between rounds
+        own_slots = jnp.tile(jnp.asarray([0, 1], jnp.int32), (A, 1))
+        own_seqs = jnp.tile(jnp.asarray([0, 1], jnp.int32), (A, 1))
+        n_before = np.asarray(stacked.n_kf).copy()
+        maps_out, states_out, M = step(
+            stacked, states, jnp.asarray(np.stack(Ks)), own_slots,
+            own_seqs, keys)
+        n_after = np.asarray(maps_out.n_kf)
+        # every agent received BOTH backlog keyframes from each of 3 peers
+        for a in range(A):
+            assert n_after[a] == n_before[a] + 6, (
+                f"agent {a}: {n_before[a]} -> {n_after[a]} (backlog dropped)")
+        ls = np.asarray(jax.tree.map(lambda x: x[0], states_out).last_seen)
+        assert (ls[1:] == 1).all(), f"last_seen did not advance: {ls}"
+
+        # stale re-offer: nothing spliced twice
+        maps2, _, _ = step(maps_out, states_out, jnp.asarray(np.stack(Ks)),
+                           own_slots, own_seqs, keys)
+        assert np.array_equal(np.asarray(maps2.n_kf), n_after)
 
 
 class TestSpmdStep:
