@@ -483,11 +483,27 @@ class SlamAgent:
             merged, jnp.int32(weld_kf), self.tracker.K,
             n_neighbors=5, n_levels=fc.n_levels, scale_factor=fc.scale_factor,
         )
-        merged, _ = local_mapping.local_ba(
-            merged, jnp.int32(weld_kf), self.tracker.K,
-            n_local=12, n_fixed=8, n_pts=2048, iters=6,
-            n_levels=fc.n_levels, scale_factor=fc.scale_factor,
-        )
+        mapper = self.tracker.local_mapper
+        if (self.tracker.inertial and self.tracker.imu_initialized
+                and mapper is not None and len(self.tracker.kf_chain) >= 2):
+            # MergeInertialBA (`Optimizer.cc:3676`, called from MergeLocal2,
+            # `LoopClosing.cc:1811`): after an inertial merge the welding BA
+            # is the JOINT visual-inertial problem — the own keyframe chain
+            # (poses + velocities + biases + preintegration edges) is
+            # re-estimated against the welded geometry (spliced peer points
+            # anchor the weld; their keyframes stay fixed), instead of the
+            # visual-only window BA. Velocity/bias continuity across the
+            # weld comes from the preintegration factors re-solved here.
+            saved = self.tracker.map
+            self.tracker.map = merged
+            merged = mapper._vi_local_ba(self.tracker, weld_kf)
+            self.tracker.map = saved
+        else:
+            merged, _ = local_mapping.local_ba(
+                merged, jnp.int32(weld_kf), self.tracker.K,
+                n_local=12, n_fixed=8, n_pts=2048, iters=6,
+                n_levels=fc.n_levels, scale_factor=fc.scale_factor,
+            )
         if self.post_merge_pose_graph:
             merged = self._run_pose_graph(merged, weld_kf, poses_pre)
         self.tracker.map = merged

@@ -279,3 +279,111 @@ class TestStereoInertial:
         d_gt = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
         ratio = d_est / d_gt
         assert 0.8 < ratio < 1.25, f"trajectory not metric: ratio {ratio}"
+
+
+class TestMergeInertialBA:
+    def test_stereo_inertial_merge_reestimates_vi_states(self):
+        """`MergeInertialBA` (`Optimizer.cc:3676`, from MergeLocal2,
+        `LoopClosing.cc:1811`): after an inertial merge the welding BA is
+        the joint VI problem — velocities and biases of the own chain are
+        re-estimated across the weld instead of the visual-only window BA.
+        Two imu-stereo systems cover overlapping segments of one metric
+        world; system 1 (as a SlamAgent) welds system 2's map in, and its
+        chain velocities must remain consistent with ground truth."""
+        from dvm_slam_tpu.io import config as config_mod
+        from dvm_slam_tpu.models import system as system_mod
+        from dvm_slam_tpu.multiagent import agent as agent_mod
+        from dvm_slam_tpu.multiagent import codec, transport
+        from dvm_slam_tpu.placerec import vocabulary
+
+        def build(agent_id):
+            settings = config_mod.SystemSettings()
+            settings.camera = config_mod.CameraSettings(
+                fx=260.0, fy=260.0, cx=160.0, cy=120.0, width=320,
+                height=240, dist=(0.0, 0.0, 0.0, 0.0), fps=10.0,
+                baseline=0.12,
+            )
+            settings.orb = config_mod.OrbSettings(n_features=600)
+            settings.kf_capacity = 64
+            settings.pt_capacity = 4096
+            settings.imu = config_mod.ImuSettings(frequency=100.0)
+            return (system_mod.System(settings, sensor="imu-stereo",
+                                      agent_id=agent_id), settings)
+
+        world = synthetic.PlaneWorld(seed=3, tex_size=1024, plane_z=6.0,
+                                     extent=30.0)
+        n = 34
+        poses, chunks, vels = synthetic.vi_trajectory(
+            n, fps=10.0, imu_rate=100.0, lateral=2.0, forward=0.5, z_amp=0.3,
+        )
+        sys1, settings = build(1)
+        sys2, _ = build(2)
+        K = jnp.asarray(settings.camera.K())
+        # overlapping segments of the SAME metric world: 0..33 and 14..33
+        for i in range(0, 34):
+            acc, gyr, dts = chunks[i]
+            il, ir = world.render_stereo(jnp.asarray(poses[i]), K, 240, 320,
+                                         0.12)
+            sys1.track_stereo_inertial(np.asarray(il), np.asarray(ir),
+                                       i * 0.1, acc, gyr, dts)
+        for i in range(14, 34):
+            acc, gyr, dts = chunks[i]
+            il, ir = world.render_stereo(jnp.asarray(poses[i]), K, 240, 320,
+                                         0.12)
+            sys2.track_stereo_inertial(np.asarray(il), np.asarray(ir),
+                                       (i - 14) * 0.1, acc, gyr, dts)
+        # the welding agent's chain must be VI-live; system 2's stereo map
+        # is metric from frame 0 whether or not its own IMU initialized
+        assert sys1.is_imu_initialized()
+
+        # wrap system 1's tracker in an agent and weld system 2's map in
+        rng = np.random.RandomState(0)
+        voc = vocabulary.train((rng.rand(600, 256) > 0.5).astype(np.uint8),
+                               branch=6, depth=2, seed=0)
+        bus = transport.LoopbackTransport()
+        cfg = settings.tracker_config()
+        a = agent_mod.SlamAgent(1, cfg, np.asarray(K),
+                                np.zeros(4, np.float32), voc, bus, [1, 2],
+                                autonomous=False)
+        a.tracker = sys1.tracker
+        sys1.tracker.meta.agent_id = 1
+
+        mask = np.asarray(sys2.map.kf_valid).copy()
+        mask[int(sys2.map.n_kf):] = False
+        packet = codec.extract_submap(sys2.map, sys2.tracker.meta, mask)
+        mB, metaB = codec.materialize(
+            codec.MapPacket.from_bytes(packet.to_bytes()),
+            cfg.frontend.capacity)
+
+        weld_kf = sys1.tracker.kf_chain[-1]
+        vel_before = {s: sys1.tracker.kf_vel.get(s)
+                      for s in sys1.tracker.kf_chain}
+        S_ident = np.asarray(lie.sim3_identity())
+        a._do_merge(2, mB, metaB, S_ident, weld_kf)
+        assert ("merged", 2) in a.log
+
+        # velocity continuity across the weld: the VI welding BA must keep
+        # the chain velocities consistent with ground truth (a visual-only
+        # weld would leave them stale/unconstrained by the new geometry)
+        checked = 0
+        for s in sys1.tracker.kf_chain[-6:]:
+            ts = sys1.tracker.kf_timestamps.get(s)
+            if ts is None:
+                continue
+            i = int(round(ts * 10.0))
+            if not (0 <= i < n):
+                continue
+            v_est = np.asarray(sys1.tracker.kf_vel.get(s))
+            assert v_est is not None
+            err = np.linalg.norm(v_est - vels[i])
+            assert err < 0.6, (
+                f"velocity discontinuity at slot {s} (frame {i}): "
+                f"|{v_est} - {vels[i]}| = {err}")
+            checked += 1
+        assert checked >= 3, "too few chain keyframes to assert continuity"
+        # biases were re-estimated and stayed physical
+        assert np.linalg.norm(sys1.tracker.bias_g) < 0.2
+        assert np.linalg.norm(sys1.tracker.bias_a) < 1.0
+        # the async post-merge GBA retires cleanly on the inertial path too
+        a.flush_gba()
+        assert any(e[0] == "gba_applied" for e in a.log)
