@@ -468,6 +468,19 @@ class MonocularTracker:
             self.enter_autonomous()
         if getattr(self, "autonomous", False):
             return self._process_autonomous(img, timestamp)
+        # visual RECENTLY_LOST/LOST: relocalize FIRST (`Tracking.cc:
+        # 1780-1812`) — the motion model is stale after a loss and a wide
+        # search from it can "recover" onto a biased pose
+        if (self.state in (RECENTLY_LOST, LOST)
+                and self.relocalizer is not None
+                and not (self.inertial and self.imu_initialized)):
+            frame_r = make_frame(jnp.asarray(img, jnp.float32), self.K,
+                                 self.dist, self.config.frontend,
+                                 camera_model=self.config.camera_model)
+            pose = self._try_relocalize(frame_r, timestamp)
+            if pose is not None:
+                self.trajectory.append((timestamp, pose, self.state))
+                return pose
         T_pred, v_pred = self._predict_pose()
         frame, res, pv, pf = make_and_track(img, self.map, T_pred, self.K,
                                             self.dist, self.config)
@@ -1004,6 +1017,16 @@ class MonocularTracker:
         return T_pred, v_pred
 
     def _track(self, frame: Frame, timestamp: float):
+        # visual RECENTLY_LOST/LOST: relocalize FIRST (`Tracking.cc:
+        # 1780-1812` — the motion model is stale after a loss, and a wide
+        # search from it can "recover" onto a biased pose; inertial mode
+        # instead keeps dead-reckoning via _predict_pose below)
+        if (self.state in (RECENTLY_LOST, LOST)
+                and self.relocalizer is not None
+                and not (self.inertial and self.imu_initialized)):
+            pose = self._try_relocalize(frame, timestamp)
+            if pose is not None:
+                return pose
         T_pred, v_pred = self._predict_pose()
         res = track_frame(self.map, frame, T_pred, self.K, self.config)
         # once the IMU is initialized the per-frame pose solve includes the
@@ -1055,6 +1078,27 @@ class MonocularTracker:
         )
         return res, np.asarray(v, np.float32)
 
+    def _try_relocalize(self, frame: Frame, timestamp: float):
+        """`Tracking::Relocalization` (Tracking.cc:3276): BoW candidates +
+        PnP, then projection re-matching + re-optimization against the
+        local map (the reference's SearchByProjection tail — track_frame is
+        exactly that two-stage refinement). Returns the pose or None."""
+        ok, T, n = self.relocalizer(self.map, frame)
+        if not ok:
+            return None
+        res2 = track_frame(self.map, frame, T, self.K, self.config)
+        if int(res2.n_inliers) >= self.config.min_track_inliers:
+            self.map = update_visibility(self.map, res2.visible, res2.found)
+            T = res2.T_cw
+        self.state = OK
+        self._lost_frames = 0
+        self.velocity = lie.se3_identity()
+        self.last_pose = T
+        self._imu_frame = []
+        self._last_good_ts = timestamp
+        self.frames_since_kf += 1
+        return T
+
     def _track_resolve(self, frame: Frame, timestamp: float, T_pred, v_pred,
                        res: TrackResult, vis=None):
         n_inl = int(res.n_inliers)
@@ -1076,15 +1120,9 @@ class MonocularTracker:
                 return T_pred
             # `Tracking::Relocalization` path (Tracking.cc:1784-1812,3276)
             if self.relocalizer is not None:
-                ok, T, n = self.relocalizer(self.map, frame)
-                if ok:
-                    self.state = OK
-                    self.velocity = lie.se3_identity()
-                    self.last_pose = T
-                    self._imu_frame = []
-                    self._last_good_ts = timestamp
-                    self.frames_since_kf += 1
-                    return T
+                pose = self._try_relocalize(frame, timestamp)
+                if pose is not None:
+                    return pose
             self.state = RECENTLY_LOST if self.state == OK else LOST
             self.velocity = lie.se3_identity()
             self._lost_frames += 1
