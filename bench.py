@@ -98,7 +98,11 @@ def main():
     more = synthetic.smooth_trajectory(
         len(imgs) + 2 * n_e2e, lateral=2.5, forward=0.8, yaw=0.1
     )[len(imgs):]
-    e2e_imgs = [np.asarray(world.render(jnp.asarray(p), Kj, H, W)) for p in more]
+    # camera-realistic uint8 frames: sensors produce 8-bit imagery, and the
+    # host->device link moves 1/4 the bytes (the tunnel's ~40 MB/s H2D is
+    # otherwise the e2e ceiling); the front end casts to f32 on device
+    e2e_imgs = [np.clip(np.asarray(world.render(jnp.asarray(p), Kj, H, W)),
+                        0, 255).astype(np.uint8) for p in more]
     kf_before = int(t.map.n_kf)
     frame_ms = []
     t0 = time.perf_counter()

@@ -103,6 +103,9 @@ def extract(img, config: FrontendConfig):
 def _extract_impl(img, config: FrontendConfig):
     """extract() body; also returns the pyramid levels (stereo SAD needs
     them alive inside the same jit)."""
+    # cast on DEVICE: callers upload camera frames in their native dtype
+    # (uint8 crosses the host->device link at 1/4 the float32 bytes)
+    img = img.astype(jnp.float32)
     levels = pyramid.build_pyramid(img, config.n_levels, config.scale_factor)
     budgets = config.level_budgets
     scales = config.scales

@@ -117,6 +117,10 @@ def export_state_json(path: str, agent, changed_since=None):
         "markers": keyframe_markers(m, agent.meta, changed_since),
         "frame_tree": agent.frames.tree(),
         "merged_with": [p.agent_id for p in agent.peers if p.successfully_merged],
+        # own-map place-recognition hits (loop correction itself is disabled
+        # like the reference, LoopClosing.cc:328-339 — triggers are recorded)
+        "loop_triggers": sum(1 for e in agent.log
+                             if e and e[0] == "loop_trigger"),
     }
     with open(path, "w") as f:
         json.dump(doc, f)

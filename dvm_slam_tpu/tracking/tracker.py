@@ -450,10 +450,15 @@ class MonocularTracker:
     # -- public API ---------------------------------------------------------
 
     def process_image(self, img, timestamp: float):
-        """`System::TrackMonocular` equivalent: grayscale [H,W] float32 in,
-        camera pose out (None until initialized). Initialized visual frames
-        take the fused extract+track dispatch (`make_and_track`)."""
-        img = jnp.asarray(img, jnp.float32)
+        """`System::TrackMonocular` equivalent: grayscale [H,W] in (uint8 or
+        float32, 0..255), camera pose out (None until initialized).
+        Initialized visual frames take the fused extract+track dispatch
+        (`make_and_track`). Upload keeps the CALLER's dtype — a uint8
+        camera frame crosses the host->device link at 1/4 the bytes (the
+        axon tunnel moves ~40 MB/s; 1.4 MB float32 frames alone cap the
+        pipeline below 30 fps) and is cast to float32 on device inside the
+        jitted front end."""
+        img = jnp.asarray(img)
         if self.state == NOT_INITIALIZED:
             frame = make_frame(img, self.K, self.dist, self.config.frontend,
                                camera_model=self.config.camera_model)
@@ -474,8 +479,7 @@ class MonocularTracker:
         if (self.state in (RECENTLY_LOST, LOST)
                 and self.relocalizer is not None
                 and not (self.inertial and self.imu_initialized)):
-            frame_r = make_frame(jnp.asarray(img, jnp.float32), self.K,
-                                 self.dist, self.config.frontend,
+            frame_r = make_frame(img, self.K, self.dist, self.config.frontend,
                                  camera_model=self.config.camera_model)
             pose = self._try_relocalize(frame_r, timestamp)
             if pose is not None:
@@ -706,11 +710,15 @@ class MonocularTracker:
                     self.K, self.dist, self.config, self._auto_cfg,
                 )
                 self._push_auto_record(m, st, tss, flags, poses)
-        # retire eagerly once a record's flags are device-ready (keeps the
-        # host mirrors ~one batch behind so the protocol loop sees fresh
-        # keyframes), with the depth bound as the blocking backstop
+        # retire eagerly once a record's flags are device-ready AND a newer
+        # record has been dispatched since (its async host copy has then had
+        # a full batch of wall time to land — reading an in-flight copy
+        # costs a relay round trip, ~80 ms on the tunnel; a settled one is
+        # free). Keeps the host mirrors ~one batch behind for the protocol
+        # loop, with the depth bound as the blocking backstop.
         while (self.autonomous and self._auto_flags
-               and (self._record_ready(self._auto_flags[0])
+               and ((len(self._auto_flags) >= 2
+                     and self._record_ready(self._auto_flags[0]))
                     or self._pending_auto_frames() > max(self.async_depth, 1))):
             if self._retire_auto_record():
                 # hand control back to the host state machine (reloc/atlas)

@@ -1,7 +1,7 @@
 """Real-sequence integration path (the reference's rosbag replay flow,
 `central_management_interface/main.py:270-317`):
 
-* a committed mini EuRoC-layout fixture (24 frames of 240x180 imagery —
+* a committed mini EuRoC-layout fixture (120 frames of 240x180 imagery, out-and-back revisit —
   real-photograph texture rendered under true perspective, see
   tests/fixtures/mini_euroc/) always runs through `console run-dataset`
   end-to-end: dataset loader -> vocabulary training -> SlamAgent tracking ->
@@ -23,30 +23,47 @@ FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "mini_euroc")
 
 class TestMiniEurocFixture:
     def test_run_dataset_end_to_end(self, tmp_path):
+        """TWO agents split the out-and-back sequence (out-leg / return-leg
+        with an overlap around the turn): the full place-recognition ->
+        Sim3-verification -> merge path must fire on REAL imagery, and both
+        Sim3-aligned ATEs stay cm-to-dm class. (The intra-map loop trigger
+        correctly does NOT fire here: the single-agent revisit re-finds its
+        own map points, so the matched keyframes are covisible and the
+        detector excludes them — loops require drift, merges don't.)"""
         from dvm_slam_tpu.tools import console
 
         out = str(tmp_path / "run")
         rep = console.run_dataset(
             FIXTURE, fmt="euroc",
             settings_path=os.path.join(FIXTURE, "settings.yaml"),
-            n_agents=1, out_dir=out,
+            n_agents=2, out_dir=out, overlap=0.5,
             gt_path=os.path.join(FIXTURE, "gt_tum.txt"),
         )
         assert "agents" in rep and rep["agents"], rep
-        a = next(iter(rep["agents"].values()))
-        assert a["frames"] >= 8, rep
-        # the fixture camera moves ~2 m; Sim3-aligned ATE must be cm-class
-        assert a["ate_rmse_m"] < 0.10, rep
+        for a in rep["agents"].values():
+            assert a["frames"] >= 30, rep
+            # the fixture camera travels ~7 m out-and-back; Sim3-aligned ATE
+            # must stay cm-to-dm class on each agent's segment
+            assert a["ate_rmse_m"] < 0.15, rep
         # artifacts of the recording flow exist (rosbag-record equivalent)
         assert os.path.exists(os.path.join(out, "robot1_trajectory.txt"))
         assert os.path.exists(os.path.join(out, "bandwidth.json"))
         assert os.path.exists(os.path.join(out, "evaluation.json"))
+        # cross-agent merge on real imagery (BoW advertise -> merge detect
+        # -> Sim3 verify -> weld): the overlap region around the turn
+        merged = []
+        for aid in (1, 2):
+            state = json.load(
+                open(os.path.join(out, f"robot{aid}_state.json")))
+            merged.append(state.get("merged_with", []))
+        assert merged[0] or merged[1], (
+            f"agents never merged on the fixture overlap: {merged}")
 
     def test_loader_parses_fixture(self):
         from dvm_slam_tpu.io import datasets
 
         seq = datasets.load_euroc(FIXTURE)
-        assert len(seq) == 24
+        assert len(seq) == 120
         ts, img = seq[0]
         assert img.shape == (180, 240)
         assert img.dtype == np.float32
