@@ -316,24 +316,45 @@ def autonomous_step(img, m: map_state.MapState, st: AutoState, K, dist,
                              good=good)
 
 
+def _pack_outcome(st: AutoState, flags: AutoFlags):
+    """Pose + outcome flags as ONE [10] f32 row: a retire then costs a
+    single host readback instead of four (each separate small array pays
+    its own relay round trip on the tunnel)."""
+    return jnp.concatenate([
+        st.T_cw,
+        jnp.stack([flags.made_kf.astype(jnp.float32),
+                   flags.good.astype(jnp.float32),
+                   flags.n_inliers.astype(jnp.float32)]),
+    ])
+
+
+@partial(jax.jit, static_argnames=("config", "mapper_cfg"))
+def autonomous_step_packed(img, m: map_state.MapState, st: AutoState, K,
+                           dist, config: TrackerConfig, mapper_cfg: tuple):
+    """`autonomous_step` returning the packed [1,10] outcome row."""
+    m, st, flags = autonomous_step(img, m, st, K, dist, config, mapper_cfg)
+    return m, st, _pack_outcome(st, flags)[None]
+
+
 @partial(jax.jit, static_argnames=("config", "mapper_cfg"))
 def autonomous_step_batch(imgs, m: map_state.MapState, st: AutoState, K, dist,
                           config: TrackerConfig, mapper_cfg: tuple):
     """B autonomous frames in ONE dispatch (`lax.scan` over the device
     step, carrying AutoState + the map). Depth-pipelining alone bottoms out
     at the per-dispatch relay round-trip (~2.5 ms -> ~33 fps); batching B
-    frames per dispatch divides that fixed cost by B. Flags and poses come
-    back stacked [B] for the host to retire asynchronously.
+    frames per dispatch divides that fixed cost by B. Outcomes come back as
+    ONE packed [B,10] array (pose 7 | made_kf | good | n_inliers) for the
+    host to retire asynchronously with a single readback.
 
-    Returns (map, state, AutoFlags stacked [B], poses [B,7])."""
+    Returns (map, state, packed [B,10])."""
     def body(carry, img):
         mm, ss = carry
         mm, ss, flags = autonomous_step(img, mm, ss, K, dist, config,
                                         mapper_cfg)
-        return (mm, ss), (flags, ss.T_cw)
+        return (mm, ss), _pack_outcome(ss, flags)
 
-    (m, st), (flags, poses) = jax.lax.scan(body, (m, st), imgs)
-    return m, st, flags, poses
+    (m, st), packed = jax.lax.scan(body, (m, st), imgs)
+    return m, st, packed
 
 
 @jax.jit
@@ -694,22 +715,22 @@ class MonocularTracker:
     def _process_autonomous(self, img, timestamp: float):
         B = max(int(self.auto_batch), 1)
         if B <= 1:
-            m, st, flags = autonomous_step(
+            m, st, packed = autonomous_step_packed(
                 img, self.map, self._auto_state,
                 self.K, self.dist, self.config, self._auto_cfg,
             )
-            self._push_auto_record(m, st, [timestamp], flags, st.T_cw)
+            self._push_auto_record(m, st, [timestamp], packed)
         else:
             self._auto_imgs.append((img, timestamp))
             if len(self._auto_imgs) >= B:
                 imgs = jnp.stack([im for im, _ in self._auto_imgs])
                 tss = [t for _, t in self._auto_imgs]
                 self._auto_imgs = []
-                m, st, flags, poses = autonomous_step_batch(
+                m, st, packed = autonomous_step_batch(
                     imgs, self.map, self._auto_state,
                     self.K, self.dist, self.config, self._auto_cfg,
                 )
-                self._push_auto_record(m, st, tss, flags, poses)
+                self._push_auto_record(m, st, tss, packed)
         # retire eagerly once a record's flags are device-ready AND a newer
         # record has been dispatched since (its async host copy has then had
         # a full batch of wall time to land — reading an in-flight copy
@@ -730,23 +751,21 @@ class MonocularTracker:
                 self._atlas_merge_back()
         return self._auto_state.T_cw
 
-    def _push_auto_record(self, m, st, tss, flags, poses):
+    def _push_auto_record(self, m, st, tss, packed):
         self.map = m
         self._auto_state = st
-        for leaf in flags:
-            leaf.copy_to_host_async()
-        poses.copy_to_host_async()
-        self._auto_flags.append((tss, flags, len(tss), poses))
+        packed.copy_to_host_async()  # ONE async D2H for the whole record
+        self._auto_flags.append((tss, packed, len(tss)))
 
     def _pending_auto_frames(self):
         return sum(rec[2] for rec in self._auto_flags)
 
     @staticmethod
     def _record_ready(rec):
-        """Non-blocking: True when a dispatched record's flags have landed
-        on the host (its retire will not stall the pipeline)."""
+        """Non-blocking: True when a dispatched record's packed outcome has
+        landed on the host (its retire will not stall the pipeline)."""
         try:
-            return rec[1].made_kf.is_ready() and rec[3].is_ready()
+            return rec[1].is_ready()
         except AttributeError:  # backend without is_ready: treat as done
             return True
 
@@ -755,11 +774,12 @@ class MonocularTracker:
         mirrors: trajectory rows, keyframe metadata, state machine.
         Returns True when the host must leave autonomous mode (the record
         ends with a lost frame and the device chain did not recover)."""
-        tss, flags, n, poses = self._auto_flags.pop(0)
-        made = np.atleast_1d(np.asarray(flags.made_kf))
-        good = np.atleast_1d(np.asarray(flags.good))
-        ninl = np.atleast_1d(np.asarray(flags.n_inliers))
-        poses_np = np.atleast_2d(np.asarray(poses))
+        tss, packed, n = self._auto_flags.pop(0)
+        rec = np.atleast_2d(np.asarray(packed))  # [B,10]: pose7|kf|good|inl
+        poses_np = rec[:, :7]
+        made = rec[:, 7] > 0.5
+        good = rec[:, 8] > 0.5
+        ninl = rec[:, 9]
         for i in range(n):
             ts = tss[i]
             # record only tracked frames (host-path parity: a lost frame
@@ -814,11 +834,11 @@ class MonocularTracker:
     def _flush_auto_buffer(self):
         """Dispatch frames buffered for a partial batch one at a time."""
         for img, ts in self._auto_imgs:
-            m, st, flags = autonomous_step(
+            m, st, packed = autonomous_step_packed(
                 img, self.map, self._auto_state,
                 self.K, self.dist, self.config, self._auto_cfg,
             )
-            self._push_auto_record(m, st, [ts], flags, st.T_cw)
+            self._push_auto_record(m, st, [ts], packed)
         self._auto_imgs = []
 
     def exit_autonomous(self, drain: bool = True):
@@ -829,11 +849,11 @@ class MonocularTracker:
         self.autonomous = False
         if drain:
             for img, ts in self._auto_imgs:
-                m, st, flags = autonomous_step(
+                m, st, packed = autonomous_step_packed(
                     img, self.map, self._auto_state,
                     self.K, self.dist, self.config, self._auto_cfg,
                 )
-                self._push_auto_record(m, st, [ts], flags, st.T_cw)
+                self._push_auto_record(m, st, [ts], packed)
             self._auto_imgs = []
             while self._auto_flags:
                 self._retire_auto_record()
