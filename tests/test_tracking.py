@@ -192,3 +192,69 @@ class TestAutonomousMode:
         # the lost flag must hand control back to the host state machine
         assert not t.autonomous
         assert t.state in (tracker.RECENTLY_LOST, tracker.LOST)
+
+    def _run(self, world, auto_batch, frames=None):
+        from dvm_slam_tpu.mapping import local_mapping
+
+        cfg = tracker.TrackerConfig(
+            frontend=FrontendConfig(height=self.H, width=self.W,
+                                    n_features=600, n_levels=4),
+            kf_cap=64, pt_cap=4096, fps=10.0,
+        )
+        mapper = local_mapping.LocalMapper(n_neighbors=4, ba_local=8,
+                                           ba_fixed=4, ba_pts=2048,
+                                           ba_iters=4)
+        t = tracker.MonocularTracker(cfg, self.K, np.zeros(4, np.float32),
+                                     local_mapper=mapper)
+        if frames is None:
+            poses = synthetic.smooth_trajectory(36, lateral=2.0, forward=0.5,
+                                                yaw=0.08)
+            Kj = jnp.asarray(self.K)
+            frames = [np.asarray(world.render(jnp.asarray(p), Kj, self.H,
+                                              self.W)) for p in poses]
+        for i, img in enumerate(frames[:12]):
+            t.process_image(img, i * 0.1)
+        assert t.state == tracker.OK
+        t.async_depth = 3
+        t.auto_batch = auto_batch
+        assert t.enter_autonomous()
+        for i, img in enumerate(frames[12:]):
+            t.process_image(img, (12 + i) * 0.1)
+        t.exit_autonomous()
+        t.flush_meta()
+        return t, frames
+
+    def test_batched_dispatch_matches_single(self, world):
+        """auto_batch=4 (the System/SlamAgent production default — B frames
+        per dispatch through `autonomous_step_batch`, one packed [B,10]
+        readback per retire) must produce the same map and bookkeeping as
+        one-dispatch-per-frame."""
+        t1, frames = self._run(world, auto_batch=1)
+        t4, _ = self._run(world, auto_batch=4, frames=frames)
+        assert t4.state == tracker.OK
+        assert t4.n_kf_host == int(t4.map.n_kf) == t1.n_kf_host
+        assert set(t4.kf_timestamps) == set(range(t4.n_kf_host))
+        assert (t4.meta.kf_uuid[:t4.n_kf_host].sum(axis=1) != 0).all()
+        # identical frames through identical device programs: poses agree
+        traj1 = {round(ts, 6): p for ts, p, _ in t1.trajectory}
+        traj4 = {round(ts, 6): p for ts, p, _ in t4.trajectory}
+        assert set(traj4) == set(traj1)
+        for ts, p4 in traj4.items():
+            np.testing.assert_allclose(p4, traj1[ts], atol=1e-4)
+
+    def test_lost_mid_batch_resyncs_kf_mirror(self, world):
+        """A batch whose tail goes lost: the host must exit autonomous AND
+        resync n_kf_host to the device count (keyframes made by the good
+        prefix of the batch must not be orphaned — advisor r2 finding)."""
+        poses = synthetic.smooth_trajectory(20, lateral=2.0, forward=0.5,
+                                            yaw=0.08)
+        Kj = jnp.asarray(self.K)
+        frames = [np.asarray(world.render(jnp.asarray(p), Kj, self.H,
+                                          self.W)) for p in poses]
+        black = np.zeros((self.H, self.W), np.float32)
+        frames = frames + [black] * 8  # lost tail lands inside a batch
+        t, _ = self._run(world, auto_batch=4, frames=frames)
+        assert t.state in (tracker.RECENTLY_LOST, tracker.LOST)
+        assert t.n_kf_host == int(t.map.n_kf)
+        assert (t.meta.kf_uuid[:t.n_kf_host].sum(axis=1) != 0).all()
+        assert set(t.kf_timestamps) == set(range(t.n_kf_host))
