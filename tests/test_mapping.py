@@ -154,6 +154,75 @@ class TestEndToEndWithMapping:
         assert rmse < 0.06, f"ATE RMSE {rmse:.3f} m"
 
 
+class TestApplyGbaCorrection:
+    """Async-GBA catch-up semantics (`LoopClosing::RunGlobalBundleAdjustment`
+    role, `LoopClosing.cc:2267`): snapshot slots take optimized values;
+    keyframes/points created while the solve ran are corrected through the
+    anchor / reprojected through their reference keyframe."""
+
+    def test_grow_during_solve(self, rng):
+        Kc, Pc = 8, 16
+        m = map_state.create(Kc, Pc, feat_cap=4)
+        # 3 snapshot keyframes with small random poses
+        poses = []
+        for i in range(3):
+            T = lie.se3(lie.so3_exp(jnp.asarray(rng.randn(3) * 0.1)),
+                        jnp.asarray(rng.randn(3) * 0.5))
+            poses.append(T)
+        kf_pose = m.kf_pose.at[:3].set(jnp.stack(poses))
+        kf_valid = m.kf_valid.at[:3].set(True)
+        pt_pos = m.pt_pos.at[:4].set(jnp.asarray(rng.randn(4, 3) + [0, 0, 6]))
+        pt_valid = m.pt_valid.at[:4].set(True)
+        pt_ref = m.pt_ref_kf.at[:4].set(jnp.asarray([0, 1, 2, 0]))
+        m = m._replace(kf_pose=kf_pose, kf_valid=kf_valid, pt_pos=pt_pos,
+                       pt_valid=pt_valid, pt_ref_kf=pt_ref,
+                       n_kf=jnp.int32(3), n_pt=jnp.int32(4))
+
+        # the async solve's result: every snapshot pose/point shifted
+        dT = lie.se3(lie.so3_exp(jnp.asarray([0.0, 0.05, 0.0])),
+                     jnp.asarray([0.2, 0.0, -0.1]))
+        res_pose = jax.vmap(lambda T: lie.se3_mul(T, dT))(m.kf_pose)
+        res_pt = m.pt_pos + 0.25
+
+        # the live map grew while the solve ran: one new KF + one new point
+        # referenced to it
+        T_new = lie.se3(lie.so3_exp(jnp.asarray([0.02, 0.0, 0.0])),
+                        jnp.asarray([1.0, 0.0, 0.0]))
+        live = m._replace(
+            kf_pose=m.kf_pose.at[3].set(T_new),
+            kf_valid=m.kf_valid.at[3].set(True),
+            pt_pos=m.pt_pos.at[4].set(jnp.asarray([0.5, -0.5, 7.0])),
+            pt_valid=m.pt_valid.at[4].set(True),
+            pt_ref_kf=m.pt_ref_kf.at[4].set(3),
+            n_kf=jnp.int32(4), n_pt=jnp.int32(5),
+        )
+
+        out = local_mapping.apply_gba_correction(
+            live, res_pose, res_pt, jnp.int32(3), jnp.int32(4), jnp.int32(0))
+
+        # snapshot keyframes take the optimized poses verbatim
+        np.testing.assert_allclose(np.asarray(out.kf_pose[:3]),
+                                   np.asarray(res_pose[:3]), atol=1e-5)
+        # the new keyframe moves by the anchor correction:
+        # T' = T_new . T_anchor_live^-1 . T_anchor_gba
+        corr = lie.se3_mul(lie.se3_inv(live.kf_pose[0]), res_pose[0])
+        expect = lie.se3_mul(T_new, corr)
+        np.testing.assert_allclose(np.asarray(out.kf_pose[3]),
+                                   np.asarray(expect), atol=1e-5)
+        # snapshot points take the optimized positions verbatim
+        np.testing.assert_allclose(np.asarray(out.pt_pos[:4]),
+                                   np.asarray(res_pt[:4]), atol=1e-5)
+        # the new point re-projects through its (corrected) reference KF:
+        # its camera-frame coordinates are preserved
+        cam_old = lie.se3_apply(live.kf_pose[3], live.pt_pos[4])
+        cam_new = lie.se3_apply(out.kf_pose[3], out.pt_pos[4])
+        np.testing.assert_allclose(np.asarray(cam_new), np.asarray(cam_old),
+                                   atol=1e-5)
+        # invalid slots untouched
+        np.testing.assert_allclose(np.asarray(out.kf_pose[5]),
+                                   np.asarray(live.kf_pose[5]))
+
+
 class TestBundleAdjustPCG:
     """Matrix-free Schur-PCG global BA (`ba.bundle_adjust_pcg`) — the
     scalable path behind `local_mapping.global_ba` full-map coverage."""
