@@ -305,6 +305,8 @@ def local_ba(m: map_state.MapState, center, K,
     P = m.pt_capacity
     F = m.feat_capacity
     n_pts = min(n_pts, P)  # small maps: window cannot exceed capacity
+    n_local = min(n_local, int(m.kf_capacity) + 1)  # top_k(cov, n_local-1)
+    n_fixed = min(n_fixed, int(m.kf_capacity))
 
     # covisibility ROW of `center` without materializing [K,P] incidence:
     # flag the center's observed points (compare-any over its F obs), then
@@ -416,8 +418,11 @@ def local_ba(m: map_state.MapState, center, K,
 
     # remove observations that ended as BA outliers (reference erases those
     # edges after optimization, Optimizer.cc tail of LocalBundleAdjustment):
-    # every window row (incl. fixed observers) gets its edited row back
-    new_rows = jnp.where(inliers, obs_pt_g, -1)                     # [LX,F]
+    # every window row (incl. fixed observers) gets its edited row back.
+    # Only edges that PARTICIPATED in the solve (obs_pt >= 0, i.e. their
+    # point made the window selection) are eligible for erasure — fixed
+    # observers' edges to non-window points must survive untouched.
+    new_rows = jnp.where(valid_o & ~inliers, -1, obs_pt_g)          # [LX,F]
     has_row = wpos_all >= 0
     kf_obs = jnp.where(has_row[:, None], new_rows[jnp.clip(wpos_all, 0)],
                        m.kf_obs)

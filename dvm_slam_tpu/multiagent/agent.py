@@ -632,11 +632,22 @@ class SlamAgent:
             # submap): the snapshot no longer describes these slots
             self.log.append(("gba_aborted", "map_replaced"))
             return
+        # the tracker continuation must move with the map: compose the same
+        # anchor correction that apply_gba_correction applies to post-
+        # snapshot keyframes (T' = T . T_anchor_live^-1 . T_anchor_gba) into
+        # last_pose, or the next motion-model prediction starts from a pose
+        # in the pre-correction frame and tracking jumps. velocity is a
+        # relative delta (T_next . T_prev^-1) and is invariant under the
+        # right-composition, so it needs no fix-up.
+        corr = lie.se3_mul(lie.se3_inv(self.map.kf_pose[pg["anchor"]]),
+                           pg["res_pose"][pg["anchor"]])
         self.tracker.map = local_mapping.apply_gba_correction(
             self.map, pg["res_pose"], pg["res_pt"],
             jnp.int32(pg["n_kf"]), jnp.int32(pg["n_pt"]),
             jnp.int32(pg["anchor"]),
         )
+        self.tracker.last_pose = lie.se3_mul(
+            jnp.asarray(self.tracker.last_pose), corr)
         self.log.append(("gba_applied",
                          round(time.perf_counter() - pg["t0"], 4)))
 
@@ -746,6 +757,10 @@ class SlamAgent:
     def _receive_new_key_frames(self, m: msgs.NewKeyFrames):
         """External keyframe ingestion (`:386-455` + `LocalMapping.cc:302-354`):
         uuid-relinked splice, duplicate fusion, one local BA after the batch."""
+        # the splice + its post-batch local BA move snapshot-slot poses: an
+        # in-flight GBA result computed pre-splice would overwrite them with
+        # stale geometry when it lands (same supersede rule as merge/rebase)
+        self._abort_gba("kf_splice")
         self.tracker.exit_autonomous()
         self.tracker.flush_meta()
         packet = codec.MapPacket.from_bytes(m.serialized_map)

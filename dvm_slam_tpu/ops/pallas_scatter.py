@@ -94,7 +94,11 @@ def _gather_kernel(pidx_ref, pts_ref, out_ref):
     pidx = pidx_ref[0, 0, :]                                   # [F]
     ids = jax.lax.broadcasted_iota(jnp.int32, (_TP, f), 0) + j * _TP
     ohT = (ids == pidx[None, :]).astype(jnp.float32)           # [TP,F]
-    part = jnp.dot(pts_ref[:], ohT, preferred_element_type=jnp.float32)
+    # f32 operands need an explicit HIGHEST: the MXU's default f32 matmul
+    # is a single bf16 pass (~1e-2 rel error) — point coordinates must come
+    # back exact (same rule as _adjoint_kernel above).
+    part = jnp.dot(pts_ref[:], ohT, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
 
     @pl.when(j == 0)
     def _():

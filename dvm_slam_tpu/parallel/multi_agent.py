@@ -288,23 +288,36 @@ def build_protocol_step(mesh: Mesh, config: trk.TrackerConfig,
         S_peer, S_ok = st1.S_peer, st1.S_ok
         for a in range(A):
             wsel = newest_idx[a]
-            cand_desc = g["desc"][a][wsel]          # [F,256]
-            cand_pos = g["pt_pos"][a][wsel]         # [F,3]
-            cand_ok = g["pt_ok"][a][wsel]           # [F]
             need = merged_row[a] & ~S_ok[a] & (jnp.int32(a) != me)
-            dist = matching.hamming_matrix(cand_desc, m1.pt_desc)  # [F,P]
-            mask = cand_ok[:, None] & m1.pt_valid[None, :]
-            idx, _, okm = matching.masked_best_match(
-                dist, mask, max_dist=match_max_dist, ratio=0.9)
-            n_match = jnp.sum(okm)
-            dst = m1.pt_pos[jnp.clip(idx, 0)]
-            S, inl, n_inl = alignment.ransac_umeyama(
-                jax.random.fold_in(jax.random.wrap_key_data(key1), a),
-                cand_pos, dst, okm, num_hypotheses=ransac_hypotheses,
-            )
-            passed = (need & (n_match >= proj_min_matches)
-                      & (n_inl >= sim3_min_inliers)
-                      & jnp.all(jnp.isfinite(S)))
+
+            # the [F,P] Hamming matrix + 200-hypothesis RANSAC is the
+            # expensive part of the round; once a peer is verified (S_ok)
+            # the result would be discarded anyway — lax.cond genuinely
+            # skips it here (per-device shard_map code, not vmapped)
+            def _verify(_, _a=a, _wsel=wsel):
+                cand_desc = g["desc"][_a][_wsel]        # [F,256]
+                cand_pos = g["pt_pos"][_a][_wsel]       # [F,3]
+                cand_ok = g["pt_ok"][_a][_wsel]         # [F]
+                dist = matching.hamming_matrix(cand_desc, m1.pt_desc)
+                mask = cand_ok[:, None] & m1.pt_valid[None, :]
+                idx, _d, okm = matching.masked_best_match(
+                    dist, mask, max_dist=match_max_dist, ratio=0.9)
+                n_match = jnp.sum(okm)
+                dst = m1.pt_pos[jnp.clip(idx, 0)]
+                S, _inl, n_inl = alignment.ransac_umeyama(
+                    jax.random.fold_in(jax.random.wrap_key_data(key1), _a),
+                    cand_pos, dst, okm, num_hypotheses=ransac_hypotheses,
+                )
+                passed = ((n_match >= proj_min_matches)
+                          & (n_inl >= sim3_min_inliers)
+                          & jnp.all(jnp.isfinite(S)))
+                return S, passed
+
+            def _skip(_, _a=a):
+                return S_peer[_a], jnp.zeros((), bool)
+
+            S, passed = jax.lax.cond(need, _verify, _skip, None)
+            passed = passed & need
             S_peer = S_peer.at[a].set(jnp.where(passed, S, S_peer[a]))
             S_ok = S_ok.at[a].set(S_ok[a] | passed)
 

@@ -506,6 +506,20 @@ class MonocularTracker:
             if pose is not None:
                 self.trajectory.append((timestamp, pose, self.state))
                 return pose
+            # reloc failed: reuse the already-extracted frame — falling
+            # through to make_and_track would re-run the whole front end
+            # (pyramid+FAST+descriptors) on the identical image, doubling
+            # per-frame cost for every frame of an extended lost span
+            T_pred, v_pred = self._predict_pose()
+            res = track_frame(self.map, frame_r, T_pred, self.K, self.config)
+            if self.async_depth > 0 and not self.inertial:
+                pose = self._pipeline_push(frame_r, timestamp, res)
+            else:
+                pose = self._track_resolve(frame_r, timestamp, T_pred,
+                                           v_pred, res)
+            if pose is not None:
+                self.trajectory.append((timestamp, pose, self.state))
+            return pose
         T_pred, v_pred = self._predict_pose()
         frame, res, pv, pf = make_and_track(img, self.map, T_pred, self.K,
                                             self.dist, self.config)
@@ -693,6 +707,13 @@ class MonocularTracker:
         an initialized visual (non-inertial) tracker."""
         if self.state != OK or self.inertial or self.local_mapper is None:
             return False
+        # drain any in-flight pipelined frames first: a record left in
+        # _pipeline would otherwise retire much later against a map whose
+        # slots the autonomous chain has since renumbered, replaying a
+        # stale state machine (spurious loss / keyframe on an ancient frame)
+        self.flush_pipeline()
+        if self.state != OK:
+            return False
         fc = self.config.frontend
         mc = self.local_mapper
         self._auto_cfg = (
@@ -742,8 +763,23 @@ class MonocularTracker:
                      and self._record_ready(self._auto_flags[0]))
                     or self._pending_auto_frames() > max(self.async_depth, 1))):
             if self._retire_auto_record():
-                # hand control back to the host state machine (reloc/atlas)
+                # the record ended lost: fold every remaining in-flight
+                # record first (their device effects already live in the
+                # map — discarding them would delete their trajectory rows
+                # and keyframe metadata), then hand control plus any
+                # buffered-but-undispatched frames back to the host state
+                # machine (reloc/atlas)
+                while self._auto_flags:
+                    self._retire_auto_record()
+                pending = self._auto_imgs
+                self._auto_imgs = []
                 self.exit_autonomous(drain=False)
+                pose = self._auto_state.T_cw
+                for im, t in pending:
+                    self.n_frames -= 1  # counted at first submission
+                    p = self.process_image(im, t)
+                    pose = p if p is not None else pose
+                return pose
         if self._atlas_check_pending and self.autonomous:
             self._atlas_check_pending = False
             self.drain_auto()
@@ -848,13 +884,7 @@ class MonocularTracker:
             return
         self.autonomous = False
         if drain:
-            for img, ts in self._auto_imgs:
-                m, st, packed = autonomous_step_packed(
-                    img, self.map, self._auto_state,
-                    self.K, self.dist, self.config, self._auto_cfg,
-                )
-                self._push_auto_record(m, st, [ts], packed)
-            self._auto_imgs = []
+            self._flush_auto_buffer()
             while self._auto_flags:
                 self._retire_auto_record()
         else:
