@@ -242,6 +242,38 @@ class TestAutonomousMode:
         for ts, p4 in traj4.items():
             np.testing.assert_allclose(p4, traj1[ts], atol=1e-4)
 
+    def test_loss_exit_preserves_inflight_frames(self, world):
+        """When a retired record ends lost, the remaining in-flight records
+        and the buffered-but-undispatched frames must NOT be discarded:
+        their device effects are already in the map, and dropping them used
+        to silently delete up to async_depth frames from the evaluated
+        trajectory (review r3 finding). Good frames on either side of a
+        black span must all end up with trajectory rows."""
+        poses = synthetic.smooth_trajectory(32, lateral=2.0, forward=0.5,
+                                            yaw=0.08)
+        Kj = jnp.asarray(self.K)
+        good = [np.asarray(world.render(jnp.asarray(p), Kj, self.H, self.W))
+                for p in poses]
+        black = np.zeros((self.H, self.W), np.float32)
+        # 12 host init + 8 good autonomous + 4 black (one lost batch) + 12
+        # good: the lost batch retires while later good batches are in
+        # flight, forcing the exit-with-pending-work path
+        frames = good[:20] + [black] * 4 + good[20:]
+        t, _ = self._run(world, auto_batch=4, frames=frames)
+        t.flush_pipeline()
+        have = {round(ts, 6) for ts, _, _ in t.trajectory}
+        # every good frame after the black span must have been either
+        # retired from a pending record or re-fed through the host path
+        missing = [i for i in range(24, 36) if round(i * 0.1, 6) not in have]
+        assert not missing, f"trajectory rows dropped for frames {missing}"
+        # and the good frames before the span too
+        pre_missing = [i for i in range(12, 20)
+                       if round(i * 0.1, 6) not in have]
+        assert not pre_missing, f"pre-loss rows dropped: {pre_missing}"
+        # mirrors stayed consistent through the mixed path
+        assert t.n_kf_host == int(t.map.n_kf)
+        assert (t.meta.kf_uuid[:t.n_kf_host].sum(axis=1) != 0).all()
+
     def test_lost_mid_batch_resyncs_kf_mirror(self, world):
         """A batch whose tail goes lost: the host must exit autonomous AND
         resync n_kf_host to the device count (keyframes made by the good
