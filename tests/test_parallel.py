@@ -384,6 +384,86 @@ class TestSim3OnMesh:
         assert np.array_equal(np.asarray(maps2.n_kf), n_after)
 
 
+@pytest.mark.slow
+class TestEightAgentStress:
+    def test_two_groups_converge_isolated(self):
+        """BASELINE's 8-agent stress config: 8 agents on the full 8-device
+        mesh form TWO independent merge groups (0-4 share one world, 5-7
+        another); each group reaches transitive closure and splices peer
+        keyframes, with zero cross-group contamination."""
+        rng = np.random.RandomState(3)
+        A = 8
+        devs = jax.devices()[:A]
+        mesh8 = multi_agent.make_mesh(A, devs)
+        fc = FrontendConfig(height=96, width=128, n_features=64, n_levels=2)
+        cfg = trk.TrackerConfig(frontend=fc, kf_cap=32, pt_cap=256, fps=10.0)
+        voc = _voc(rng)
+        group = [0, 0, 0, 0, 0, 1, 1, 1]
+
+        worlds = []
+        for g, off in ((0, [0, 0, 8]), (1, [40, 0, 8])):
+            pts = (rng.randn(60, 3) * 1.5 + off).astype(np.float32)
+            desc = (rng.rand(60, 256) > 0.5).astype(np.uint8)
+            worlds.append((pts, desc))
+
+        maps, Ks = [], []
+        for a in range(A):
+            pts, desc = worlds[group[a]]
+            off = ((0.05 * a, -0.02 * a), (0.25 + 0.03 * a, 0.05))
+            m, K = _agent_map(rng, pts, desc, kf_cap=32, pt_cap=256,
+                              F=fc.capacity, pose_offsets=off)
+            maps.append(m)
+            Ks.append(K)
+
+        step = multi_agent.build_protocol_step(
+            mesh8, cfg, voc, window=1,
+            proj_min_matches=25, sim3_min_inliers=12)
+        stacked = multi_agent.stack_agents(maps)
+        lv, idf = voc.device_arrays()
+        sts = []
+        for a in range(A):
+            st = multi_agent.create_protocol_state(32, voc.n_words, A)
+            bow0 = vocabulary.bow_vector(
+                lv, idf, maps[a].kf_desc[0], maps[a].kf_feat_valid[0],
+                voc.branch, voc.n_words)
+            st = st._replace(db_bow=st.db_bow.at[0].set(bow0),
+                             db_valid=st.db_valid.at[0].set(True))
+            sts.append(st)
+        states = multi_agent.stack_agents(sts)
+        Kb = jnp.asarray(np.stack(Ks))
+        own_slot = jnp.ones((A, 1), jnp.int32)
+        own_seq = jnp.zeros((A, 1), jnp.int32)
+        keys = jnp.asarray(rng.randint(0, 2 ** 31, (A, 2)), jnp.uint32)
+
+        n_before = np.asarray(stacked.n_kf).copy()
+        maps_out, states_out, M = step(stacked, states, Kb, own_slot,
+                                       own_seq, keys)
+        M = np.asarray(M)
+        for i in range(A):
+            for j in range(A):
+                if i == j:
+                    continue
+                if group[i] == group[j]:
+                    assert M[i, j], f"same-group {i},{j} failed to merge"
+                else:
+                    assert not M[i, j], f"cross-group {i},{j} merged"
+
+        n_after = np.asarray(maps_out.n_kf)
+        sizes = [group.count(group[a]) for a in range(A)]
+        for a in range(A):
+            assert n_after[a] == n_before[a] + sizes[a] - 1, (
+                f"agent {a}: {n_before[a]} -> {n_after[a]} "
+                f"(group size {sizes[a]})")
+
+        # second round, fresh sequence ids: every agent splices its peers'
+        # fresh keyframes again (dedup passes new, blocks old)
+        maps3, _, _ = step(maps_out, states_out, Kb, own_slot,
+                           own_seq + 1, keys)
+        n3 = np.asarray(maps3.n_kf)
+        for a in range(A):
+            assert n3[a] == n_after[a] + sizes[a] - 1
+
+
 class TestSpmdStep:
     def test_spmd_agent_step_shapes(self, mesh4):
         """The per-slice SPMD compute step (front end + tracking + BA +
