@@ -1,0 +1,156 @@
+"""TPU experiment sweep, ready for the moment the tunnel returns.
+
+Measures, on the real chip:
+  1. autonomous e2e fps vs auto_batch B in {1,2,4,8}
+  2. local BA per-solve ms vs batch in {1,4,8,16}
+  3. same-problem BA (the C++ baseline's exact problem)
+  4. pallas kernel verification
+Prints one JSON line per experiment.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dvm_slam_tpu.frontend.extractor import FrontendConfig
+    from dvm_slam_tpu.tracking import tracker as trk
+    from dvm_slam_tpu.mapping import local_mapping, map_state
+    from dvm_slam_tpu.io import synthetic
+
+    print(json.dumps({"devices": str(jax.devices())}), flush=True)
+
+    H, W = 480, 752
+    K = np.array([458.654, 457.296, 367.215, 248.375], np.float32)
+    fc = FrontendConfig(height=H, width=W, n_features=1250)
+    cfg = trk.TrackerConfig(frontend=fc, kf_cap=128, pt_cap=8192, fps=20.0)
+    world = synthetic.PlaneWorld(seed=7, tex_size=2048, plane_z=6.0,
+                                 extent=36.0)
+    mapper = local_mapping.LocalMapper(n_neighbors=5, ba_local=12, ba_fixed=8,
+                                       ba_pts=4096, ba_iters=6)
+    Kj = jnp.asarray(K)
+
+    n_warm = 60
+    poses = synthetic.smooth_trajectory(n_warm + 300, lateral=2.5,
+                                        forward=0.8, yaw=0.1)
+    warm_imgs = [np.asarray(world.render(jnp.asarray(p), Kj, H, W))
+                 for p in poses[:n_warm]]
+    run_imgs = [np.clip(np.asarray(world.render(jnp.asarray(p), Kj, H, W)),
+                        0, 255).astype(np.uint8) for p in poses[n_warm:]]
+
+    # --- experiment 1: autonomous fps vs B --------------------------------
+    for B in (1, 2, 4, 8):
+        t = trk.MonocularTracker(cfg, K, np.zeros(4, np.float32),
+                                 local_mapper=mapper)
+        for i, img in enumerate(warm_imgs):
+            t.process_image(img, i * 0.05)
+        if t.state != trk.OK:
+            print(json.dumps({"exp": "auto_fps", "B": B, "error": "not OK"}),
+                  flush=True)
+            continue
+        t.async_depth = 8
+        t.auto_batch = B
+        if not t.enter_autonomous():
+            print(json.dumps({"exp": "auto_fps", "B": B,
+                              "error": "enter failed"}), flush=True)
+            continue
+        for w in range(2 * B):   # warm both dispatch shapes
+            t.process_image(run_imgs[w], (n_warm + w) * 0.05)
+        t.drain_auto()
+        jax.block_until_ready(t._auto_state.T_cw)
+        n = 72
+        t0 = time.perf_counter()
+        for i in range(n):
+            t.process_image(run_imgs[2 * B + i], (n_warm + 2 * B + i) * 0.05)
+            if not t.autonomous:
+                break
+        ok = t.autonomous
+        if ok:
+            t.drain_auto()
+            jax.block_until_ready(t._auto_state.T_cw)
+        dt = time.perf_counter() - t0
+        print(json.dumps({"exp": "auto_fps", "B": B,
+                          "fps": round(n / dt, 2), "still_auto": bool(ok),
+                          "n_kf": int(t.map.n_kf)}), flush=True)
+        t.exit_autonomous()
+        t.flush_meta()
+        m_ref = t.map
+
+    # --- experiment 2: local BA per-solve vs batch -------------------------
+    for BATCH in (1, 4, 8, 16):
+        ms_stack = map_state.stack_maps([m_ref] * BATCH)
+        cen_sets = [
+            jnp.asarray([(3 + i * BATCH + b) % max(int(m_ref.n_kf) - 2, 1) + 1
+                         for b in range(BATCH)], jnp.int32)
+            for i in range(4)
+        ]
+        mm, chi2 = local_mapping.local_ba_batched(
+            ms_stack, cen_sets[0], t.K, n_local=12, n_fixed=8, n_pts=4096,
+            iters=6)
+        jax.block_until_ready(chi2)
+        t0 = time.perf_counter()
+        for i in range(8):
+            mm, chi2 = local_mapping.local_ba_batched(
+                ms_stack, cen_sets[i % 4], t.K, n_local=12, n_fixed=8,
+                n_pts=4096, iters=6)
+        jax.block_until_ready(chi2)
+        per = (time.perf_counter() - t0) / 8 / BATCH * 1000.0
+        print(json.dumps({"exp": "local_ba", "batch": BATCH,
+                          "per_solve_ms": round(per, 3)}), flush=True)
+
+    # --- experiment 2b: selection vs solve split ----------------------------
+    try:
+        ms_stack = map_state.stack_maps([m_ref] * 8)
+        cen = jnp.asarray([(3 + b) % max(int(m_ref.n_kf) - 2, 1) + 1
+                           for b in range(8)], jnp.int32)
+        for iters in (1, 6, 12):
+            mm, chi2 = local_mapping.local_ba_batched(
+                ms_stack, cen, t.K, n_local=12, n_fixed=8, n_pts=4096,
+                iters=iters)
+            jax.block_until_ready(chi2)
+            t0 = time.perf_counter()
+            for i in range(6):
+                mm, chi2 = local_mapping.local_ba_batched(
+                    ms_stack, cen + i % 3, t.K, n_local=12, n_fixed=8,
+                    n_pts=4096, iters=iters)
+            jax.block_until_ready(chi2)
+            per = (time.perf_counter() - t0) / 6 / 8 * 1000.0
+            print(json.dumps({"exp": "local_ba_iters", "iters": iters,
+                              "per_solve_ms": round(per, 3)}), flush=True)
+    except Exception as e:
+        print(json.dumps({"exp": "local_ba_iters", "error": str(e)[:200]}),
+              flush=True)
+
+    # --- experiment 3+4: reuse bench helpers --------------------------------
+    import bench
+    for bsz in (8, 16, 32):
+        try:
+            ba_ms = bench._tpu_same_problem_ba_ms(bsz)
+            print(json.dumps({"exp": "same_problem_ba", "batch": bsz,
+                              "per_solve_ms": round(ba_ms, 3) if ba_ms
+                              else None}), flush=True)
+        except Exception as e:
+            print(json.dumps({"exp": "same_problem_ba", "batch": bsz,
+                              "error": str(e)[:200]}), flush=True)
+    pv = bench._verify_pallas_kernels(warm_imgs[0], t)
+    print(json.dumps({"exp": "pallas_verify", "ok": pv}), flush=True)
+
+    # --- experiment 5: global BA ------------------------------------------
+    mg, _ = local_mapping.global_ba(m_ref, t.K, iters=8)
+    jax.block_until_ready(mg.kf_pose)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        mg, _ = local_mapping.global_ba(m_ref, t.K, iters=8)
+    jax.block_until_ready(mg.kf_pose)
+    print(json.dumps({"exp": "global_ba",
+                      "ms": round((time.perf_counter() - t0) / 3 * 1000, 1)}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
