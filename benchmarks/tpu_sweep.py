@@ -43,8 +43,22 @@ def main():
     run_imgs = [np.clip(np.asarray(world.render(jnp.asarray(p), Kj, H, W)),
                         0, 255).astype(np.uint8) for p in poses[n_warm:]]
 
+    # --- experiment 0: H2D upload bandwidth --------------------------------
+    # uint8 480x752 = 353 KB/frame; at the tunnel's nominal ~40 MB/s this is
+    # ~9 ms/frame — over half a 60 fps budget. Measure what it actually is.
+    warm_up = [jnp.asarray(im) for im in run_imgs[:4]]
+    jax.block_until_ready(warm_up)
+    t0 = time.perf_counter()
+    ups = [jnp.asarray(im) for im in run_imgs[:48]]
+    jax.block_until_ready(ups)
+    dt = time.perf_counter() - t0
+    mb = sum(im.nbytes for im in run_imgs[:48]) / 1e6
+    print(json.dumps({"exp": "h2d_upload", "MB_s": round(mb / dt, 1),
+                      "ms_per_frame": round(dt / 48 * 1000, 2)}), flush=True)
+    del warm_up, ups
+
     # --- experiment 1: autonomous fps vs B --------------------------------
-    for B in (1, 2, 4, 8):
+    for B in (1, 2, 4, 8, 12):
         t = trk.MonocularTracker(cfg, K, np.zeros(4, np.float32),
                                  local_mapper=mapper)
         for i, img in enumerate(warm_imgs):
@@ -77,9 +91,112 @@ def main():
         print(json.dumps({"exp": "auto_fps", "B": B,
                           "fps": round(n / dt, 2), "still_auto": bool(ok),
                           "n_kf": int(t.map.n_kf)}), flush=True)
+
+        # 1b: same loop with DEVICE-RESIDENT frames (no H2D in the loop):
+        # the fps delta vs the host-upload run is the upload cost; the
+        # remainder is dispatch + device compute.
+        if ok and t.autonomous:
+            base = n_warm + 2 * B + n
+            dev = [jnp.asarray(run_imgs[2 * B + n + i]) for i in range(72)]
+            jax.block_until_ready(dev[-1])
+            t0 = time.perf_counter()
+            nd = 0
+            for i, im in enumerate(dev):
+                t.process_image(im, (base + i) * 0.05)
+                nd += 1
+                if not t.autonomous:
+                    break
+            if t.autonomous:
+                t.drain_auto()
+                jax.block_until_ready(t._auto_state.T_cw)
+            dt = time.perf_counter() - t0
+            print(json.dumps({"exp": "auto_fps_devres", "B": B,
+                              "fps": round(nd / dt, 2),
+                              "still_auto": bool(t.autonomous)}), flush=True)
         t.exit_autonomous()
         t.flush_meta()
         m_ref = t.map
+
+    # --- experiment 1d: per-stage device time (blocking, distinct inputs) --
+    # answers WHERE the per-frame milliseconds go: extract vs track vs mapper
+    def _time_stage(name, fn, inputs, n=8):
+        fn(inputs[0])
+        out = fn(inputs[0])
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        ts = []
+        for j in range(n):
+            t0 = time.perf_counter()
+            out = fn(inputs[j % len(inputs)])
+            jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+            ts.append(time.perf_counter() - t0)
+        print(json.dumps({"exp": "stage_ms", "stage": name,
+                          "ms_median": round(float(np.median(ts)) * 1000, 2),
+                          "ms_min": round(float(np.min(ts)) * 1000, 2)}),
+              flush=True)
+
+    t = trk.MonocularTracker(cfg, K, np.zeros(4, np.float32),
+                             local_mapper=mapper)
+    for i, img in enumerate(warm_imgs):
+        t.process_image(img, i * 0.05)
+    if t.state == trk.OK:
+        from dvm_slam_tpu.frontend.extractor import make_frame
+        from dvm_slam_tpu.mapping.local_mapping import _mapper_chain
+        dev = [jnp.asarray(im) for im in run_imgs[:8]]
+        jax.block_until_ready(dev[-1])
+        mkf = jax.jit(lambda im: make_frame(
+            im, t.K, t.dist, cfg.frontend, camera_model="pinhole"))
+        _time_stage("make_frame", mkf, dev)
+        frames = [mkf(d) for d in dev]
+        m0, T0 = t.map, jnp.asarray(t.last_pose)
+        trkfn = jax.jit(lambda fr: trk.track_frame(m0, fr, T0, t.K, cfg))
+        _time_stage("track_frame", trkfn, frames)
+        slot = jnp.int32(max(int(m0.n_kf) - 1, 0))
+        chain = jax.jit(lambda mm: _mapper_chain(
+            mm, slot, t.K, n_neighbors=5, n_levels=8, scale_factor=1.2,
+            run_ba_traced=jnp.bool_(False), ba_local=12, ba_fixed=8,
+            ba_pts=4096, ba_iters=6))
+        _time_stage("mapper_noBA", chain, [m0])
+        chain_ba = jax.jit(lambda mm: _mapper_chain(
+            mm, slot, t.K, n_neighbors=5, n_levels=8, scale_factor=1.2,
+            run_ba_traced=jnp.bool_(True), ba_local=12, ba_fixed=8,
+            ba_pts=4096, ba_iters=6))
+        _time_stage("mapper_withBA", chain_ba, [m0])
+        from dvm_slam_tpu.mapping import map_state as ms_mod
+        _time_stage("incidence", jax.jit(
+            lambda mm: ms_mod.incidence(mm)), [m0])
+        _time_stage("update_point_stats", jax.jit(
+            lambda mm: ms_mod.update_point_stats(mm, 8, 1.2)), [m0])
+
+    # --- experiment 1c: blocking per-dispatch time of the autonomous step --
+    # (device compute + one round trip; no pipelining) at each B
+    t = trk.MonocularTracker(cfg, K, np.zeros(4, np.float32),
+                             local_mapper=mapper)
+    for i, img in enumerate(warm_imgs):
+        t.process_image(img, i * 0.05)
+    if t.state == trk.OK and t.enter_autonomous():
+        st0, m0 = t._auto_state, t.map
+        for B in (1, 4, 8):
+            dev = jnp.asarray(np.stack(run_imgs[:8 * B]).reshape(
+                8, B, H, W)) if B > 1 else jnp.asarray(
+                np.stack(run_imgs[:8])[:, None].reshape(8, 1, H, W))
+            fn = (trk.autonomous_step_batch if B > 1
+                  else trk.autonomous_step_packed)
+            args = lambda j: (dev[j] if B > 1 else dev[j, 0])
+            m, st, p = fn(args(0), m0, st0, t.K, t.dist, t.config,
+                          t._auto_cfg)
+            jax.block_until_ready(p)
+            ts = []
+            for j in range(8):
+                t0 = time.perf_counter()
+                m, st, p = fn(args(j), m0, st0, t.K, t.dist, t.config,
+                              t._auto_cfg)
+                jax.block_until_ready(p)
+                ts.append(time.perf_counter() - t0)
+            print(json.dumps({
+                "exp": "auto_dispatch_blocking", "B": B,
+                "ms_median": round(float(np.median(ts)) * 1000, 2),
+                "ms_min": round(float(np.min(ts)) * 1000, 2)}), flush=True)
+        t.exit_autonomous()
 
     # --- experiment 2: local BA per-solve vs batch -------------------------
     for BATCH in (1, 4, 8, 16):

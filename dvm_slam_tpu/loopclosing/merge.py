@@ -154,8 +154,13 @@ def transform_map(m: map_state.MapState, S):
 
     kf = jax.vmap(newpose)(m.kf_pose)
     s = lie.sim3_s(S)
+    # viewing normals rotate with the frame (no scale/translation) — leaving
+    # them in the old world frame would make the view_cos projection gate
+    # reject every re-based point after a large inter-map rotation
+    nrm = lie.quat_rotate(lie.sim3_q(S)[None], m.pt_normal)
     return m._replace(
         pt_pos=jnp.where(m.pt_valid[:, None], pt, m.pt_pos),
+        pt_normal=jnp.where(m.pt_valid[:, None], nrm, m.pt_normal),
         kf_pose=jnp.where(m.kf_valid[:, None], kf, m.kf_pose),
         pt_min_dist=m.pt_min_dist * s,
         pt_max_dist=m.pt_max_dist * s,
@@ -269,8 +274,18 @@ def merge_maps(mA, metaA, mB, metaB, S_ab):
         jnp.asarray(kf_new), jnp.asarray(pt_new),
         jnp.asarray(n_kf), jnp.asarray(n_pt),
     )
-    # host metadata
-    meta = metaA
+    if (kf_map[np.asarray(mB.kf_valid)] < 0).any() or \
+            (pt_map[np.asarray(mB.pt_valid)] < 0).any():
+        import warnings
+        warnings.warn("merge_maps: capacity overflow dropped keyframes/"
+                      "points from the incoming map", stacklevel=2)
+    # host metadata — COPY: metaA may be a stored snapshot (atlas stash,
+    # async-GBA reference) that must not change if a later stage fails
+    meta = map_state.MapMeta(
+        kf_uuid=metaA.kf_uuid.copy(), pt_uuid=metaA.pt_uuid.copy(),
+        kf_creator=metaA.kf_creator.copy(),
+        pt_creator=metaA.pt_creator.copy(), agent_id=metaA.agent_id,
+    )
     for j in np.nonzero(kf_new)[0]:
         meta.kf_uuid[kf_map[j]] = metaB.kf_uuid[j]
         meta.kf_creator[kf_map[j]] = metaB.kf_creator[j]

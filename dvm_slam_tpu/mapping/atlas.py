@@ -17,7 +17,7 @@ MapState + the merge machinery:
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import jax
@@ -34,6 +34,7 @@ class StoredMap:
     meta: map_state.MapMeta
     db: database.BowDatabase
     kf_timestamps: dict
+    covis: object = None  # covisibility, computed once at stash (immutable)
 
 
 class Atlas:
@@ -64,7 +65,7 @@ class Atlas:
 
     # -- submap management ---------------------------------------------------
 
-    def _build_db(self, m, max_kf: Optional[int] = None):
+    def _build_db(self, m):
         levels, idf = self.voc.device_arrays()
         db = database.create(m.kf_capacity, self.voc.n_words)
         n = int(m.n_kf)
@@ -80,16 +81,19 @@ class Atlas:
         return db
 
     def stash_active(self, m, meta, kf_timestamps):
-        """Park the current map (CreateMapInAtlas's 'store current map')."""
+        """Park the current map (CreateMapInAtlas's 'store current map').
+        Stored maps are immutable, so the covisibility used by merge-back
+        scoring is computed ONCE here instead of on every new keyframe."""
         self.inactive.append(StoredMap(
             m=m, meta=meta, db=self._build_db(m),
             kf_timestamps=dict(kf_timestamps),
+            covis=map_state.covisibility(m),
         ))
 
     def try_merge_back(self, m_active, meta_active, query_slot: int):
         """Attempt to weld the active map into a stored one via the query
         keyframe. Returns None or (merged_map, merged_meta, kf_map,
-        stored_index, kf_ts_merged)."""
+        S_ab [8] Sim3 active->stored, stored_kf_timestamps)."""
         levels, idf = self.voc.device_arrays()
         q = vocabulary.bow_vector(
             levels, idf, m_active.kf_desc[query_slot],
@@ -97,7 +101,8 @@ class Atlas:
             self.voc.branch, self.voc.n_words,
         )
         for si, stored in enumerate(self.inactive):
-            covis = map_state.covisibility(stored.m)
+            covis = stored.covis if stored.covis is not None \
+                else map_state.covisibility(stored.m)
             ok, best, score, baseline = database.detect_merge_possibility(
                 stored.db, q, covis
             )

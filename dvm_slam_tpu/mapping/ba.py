@@ -391,8 +391,11 @@ def bundle_adjust_pcg(
     pts,          # [P,3]
     pt_opt,       # [P] bool
     K,            # [4]
+    kf_ur=None,   # optional [L,F] stereo right-u (-1 mono); with bf adds the
+                  # disparity residual row (pins metric scale in global BA)
+    bf=None,      # fx * baseline
     lm_iters: int = 8,
-    pcg_iters: int = 30,
+    pcg_iters: int = 40,
     stage2_iters: int = 4,
     damping: float = 1e-4,
 ):
@@ -417,6 +420,15 @@ def bundle_adjust_pcg(
     optc = jnp.clip(opt_row, 0)
     ouv = kf_xy.reshape(O, 2)
     oinfo = (1.0 / jnp.maximum(kf_sigma2, 1e-12)).reshape(O)
+    if kf_ur is not None:
+        our = kf_ur.reshape(O)
+        stereo_o = (our >= 0.0) & ovalid0
+        stereo_f = stereo_o.astype(pts.dtype)
+        chi2_th = jnp.where(stereo_o, CHI2_STEREO, CHI2_MONO)
+        delta_h = jnp.where(stereo_o, HUBER_DELTA_STEREO, HUBER_DELTA)
+    else:
+        chi2_th = CHI2_MONO
+        delta_h = HUBER_DELTA
     free_cam = (~kf_fixed).astype(dtype)
     popt = pt_opt.astype(dtype)
     eye3 = jnp.eye(3, dtype=dtype)
@@ -432,14 +444,19 @@ def bundle_adjust_pcg(
         inv_z = 1.0 / zs
         ru = ouv[:, 0] - (K[0] * x * inv_z + K[2])
         rv = ouv[:, 1] - (K[1] * y * inv_z + K[3])
-        return ru, rv, x, y, z, inv_z
+        if kf_ur is None:
+            rw = jnp.zeros_like(ru)
+        else:
+            rw = jnp.where(stereo_o,
+                           our - (K[0] * x * inv_z + K[2] - bf * inv_z), 0.0)
+        return ru, rv, rw, x, y, z, inv_z
 
     def lm_step(carry, _):
         poses, points, active = carry
-        ru, rv, x, y, z, inv_z = residuals(poses, points)
-        chi2 = (ru * ru + rv * rv) * oinfo
+        ru, rv, rw, x, y, z, inv_z = residuals(poses, points)
+        chi2 = (ru * ru + rv * rv + rw * rw) * oinfo
         rn = jnp.sqrt(jnp.maximum(chi2, 1e-12))
-        w = oinfo * active * jnp.minimum(1.0, HUBER_DELTA / rn) * (z > 0)
+        w = oinfo * active * jnp.minimum(1.0, delta_h / rn) * (z > 0)
 
         a00 = K[0] * inv_z
         a02 = -K[0] * x * inv_z * inv_z
@@ -462,20 +479,32 @@ def bundle_adjust_pcg(
         # the per-camera reduction is a plain reshape+sum — no scatter
         ccv = w[:, None, None] * (Ju[:, :, None] * Ju[:, None, :]
                                   + Jv[:, :, None] * Jv[:, None, :])
-        Hcc = ccv.reshape(L, F, 6, 6).sum(axis=1)
         bcv = w[:, None] * (Ju * ru[:, None] + Jv * rv[:, None])
-        bc = bcv.reshape(L, F, 6).sum(axis=1)
-        Hpp = (
-            jnp.zeros((P, 3, 3), dtype)
-            .at[optc].add(w[:, None, None] * (Pu[:, :, None] * Pu[:, None, :]
-                                              + Pv[:, :, None] * Pv[:, None, :])
-                          * ovalid0[:, None, None])
-        )
-        bp = jnp.zeros((P, 3), dtype).at[optc].add(
-            (w * ovalid0)[:, None] * (Pu * ru[:, None] + Pv * rv[:, None])
-        )
+        hpv = w[:, None, None] * (Pu[:, :, None] * Pu[:, None, :]
+                                  + Pv[:, :, None] * Pv[:, None, :])
+        bpv = w[:, None] * (Pu * ru[:, None] + Pv * rv[:, None])
         Wo = w[:, None, None] * (Ju[:, :, None] * Pu[:, None, :]
                                  + Jv[:, :, None] * Pv[:, None, :])  # [O,6,3]
+        if kf_ur is not None:
+            # stereo third row: same plane pattern with a02 -> a02 + bf/z^2
+            a02s = a02 + bf * inv_z * inv_z
+            Jw = jnp.stack([-a00, zero, -a02s, -a02s * y,
+                            -a00 * z + a02s * x, a00 * y], -1)
+            Jw = Jw * free_cam[okf, None]
+            Pw = -(Rm[:, 0, :] * a00[:, None] + Rm[:, 2, :] * a02s[:, None])
+            Pw = Pw * popt[optc, None]
+            ws = w * stereo_f
+            ccv = ccv + ws[:, None, None] * (Jw[:, :, None] * Jw[:, None, :])
+            bcv = bcv + (ws * rw)[:, None] * Jw
+            hpv = hpv + ws[:, None, None] * (Pw[:, :, None] * Pw[:, None, :])
+            bpv = bpv + (ws * rw)[:, None] * Pw
+            Wo = Wo + ws[:, None, None] * (Jw[:, :, None] * Pw[:, None, :])
+        Hcc = ccv.reshape(L, F, 6, 6).sum(axis=1)
+        bc = bcv.reshape(L, F, 6).sum(axis=1)
+        Hpp = jnp.zeros((P, 3, 3), dtype).at[optc].add(
+            hpv * ovalid0[:, None, None])
+        bp = jnp.zeros((P, 3), dtype).at[optc].add(
+            bpv * ovalid0[:, None])
 
         trp = jnp.einsum("pii->p", Hpp)
         lam_p = damping * (1.0 + trp / 3.0)
@@ -522,7 +551,8 @@ def bundle_adjust_pcg(
             # global-BA wall time); ~40 matvec iterations of a [6L,6L]
             # matmul stay entirely on the MXU
             Minv_d = _inv6x6_block(S[ii, :, ii, :])
-            dc = _block_jacobi_pcg(Sm, Minv_d, rhs.reshape(-1), 40).reshape(L, 6)
+            dc = _block_jacobi_pcg(Sm, Minv_d, rhs.reshape(-1),
+                                   pcg_iters).reshape(L, 6)
             dc = jnp.where(jnp.isfinite(dc), dc, 0.0) * free_cam[:, None]
             WTdc = (dc.reshape(-1) @ B).reshape(P, 3)
             dp = jnp.einsum("pij,pj->pi", Hpp_inv, -(bp + WTdc))
@@ -580,14 +610,14 @@ def bundle_adjust_pcg(
         lm_step, (kf_pose, pts, active0), None, length=lm_iters
     )
     # stage 2: drop outlier edges, re-optimize (reference two-stage scheme)
-    ru, rv, _, _, z, _ = residuals(poses, points)
-    chi2 = (ru * ru + rv * rv) * oinfo
-    stage2 = ovalid0 & (chi2 <= CHI2_MONO) & (z > 0)
+    ru, rv, rw, _, _, z, _ = residuals(poses, points)
+    chi2 = (ru * ru + rv * rv + rw * rw) * oinfo
+    stage2 = ovalid0 & (chi2 <= chi2_th) & (z > 0)
     (poses, points, _), _ = jax.lax.scan(
         lm_step, (poses, points, stage2.astype(dtype)), None, length=stage2_iters
     )
-    ru, rv, _, _, z, _ = residuals(poses, points)
-    chi2 = (ru * ru + rv * rv) * oinfo
-    inliers = ovalid0 & (chi2 <= CHI2_MONO) & (z > 0)
+    ru, rv, rw, _, _, z, _ = residuals(poses, points)
+    chi2 = (ru * ru + rv * rv + rw * rw) * oinfo
+    inliers = ovalid0 & (chi2 <= chi2_th) & (z > 0)
     total = jnp.sum(jnp.where(inliers, chi2, 0.0))
     return poses, points, total, inliers.reshape(L, F)

@@ -48,7 +48,7 @@ def create_new_points(m: map_state.MapState, center, K,
     F = m.feat_capacity
     f = K[0]
 
-    cov = map_state.covisibility(m)[center]                    # [K]
+    cov = map_state.covis_row(m, center)                       # [K]
     nw, nidx = jax.lax.top_k(cov, n_neighbors)
     nvalid = (nw > 0) & m.kf_valid[nidx]
 
@@ -175,7 +175,7 @@ def fuse_duplicates(m: map_state.MapState, center, K,
     F = m.feat_capacity
     P = m.pt_capacity
 
-    cov = map_state.covisibility(m)[center]
+    cov = map_state.covis_row(m, center)
     nw, nidx = jax.lax.top_k(cov, n_neighbors)
     nvalid = (nw > 0) & m.kf_valid[nidx]
 
@@ -308,17 +308,10 @@ def local_ba(m: map_state.MapState, center, K,
     n_local = min(n_local, int(m.kf_capacity) + 1)  # top_k(cov, n_local-1)
     n_fixed = min(n_fixed, int(m.kf_capacity))
 
-    # covisibility ROW of `center` without materializing [K,P] incidence:
-    # flag the center's observed points (compare-any over its F obs), then
-    # count flagged hits per keyframe with a plain gather — no scatters
-    obs_c = m.kf_obs[center]                                  # [F]
-    flag_c = jnp.any(
-        obs_c[None, :] == jnp.arange(P, dtype=jnp.int32)[:, None], axis=1
-    ) & m.pt_valid
-    flag_cp = jnp.concatenate([flag_c, jnp.zeros((1,), bool)])
+    # covisibility ROW of `center` without materializing [K,P] incidence
+    # (map_state.covis_row: flagged gather, no scatters)
     obs_all = jnp.where(m.kf_obs >= 0, m.kf_obs, P)           # [K,F]
-    cov = jnp.sum(flag_cp[obs_all], axis=1).astype(jnp.int32)
-    cov = jnp.where(m.kf_valid & (jnp.arange(m.kf_capacity) != center), cov, 0)
+    cov = map_state.covis_row(m, center)
     cw, cidx = jax.lax.top_k(cov, n_local - 1)
     lmask = jnp.concatenate([jnp.array([True]), (cw > 0) & m.kf_valid[cidx]])
     lidx = jnp.concatenate([center[None].astype(jnp.int32), cidx.astype(jnp.int32)])
@@ -457,7 +450,7 @@ def local_ba_batched(ms: map_state.MapState, centers, K,
 def global_ba(m: map_state.MapState, K,
               n_kf_max: int | None = None, n_pts: int | None = None,
               iters: int = 10,
-              n_levels: int = 8, scale_factor: float = 1.2):
+              n_levels: int = 8, scale_factor: float = 1.2, bf=None):
     """Global bundle adjustment (`Optimizer::GlobalBundleAdjustemnt`,
     `Optimizer.cc:48`; spawned after merges by
     `LoopClosing::RunGlobalBundleAdjustment`, `LoopClosing.cc:2267`).
@@ -496,9 +489,14 @@ def global_ba(m: map_state.MapState, K,
         obs_pt = jnp.where(obs_pt_g >= 0, inv[jnp.clip(obs_pt_g, 0)], -1)
         pts0, pt_opt = m.pt_pos[sel], sel_ok
 
+    # stereo/RGB-D maps: include the disparity residual rows — without them
+    # the full-map solve is free to drift the metric scale (only KF 0 is
+    # fixed), un-fixing supposedly scale-fixed maps on every global BA
+    kf_ur = None if bf is None else jnp.where(rmask[:, None],
+                                              m.kf_ur[rows], -1.0)
     new_poses, new_pts, chi2, inliers = ba.bundle_adjust_pcg(
         m.kf_pose[rows], fixed, m.kf_xy[rows], sigma2_lv[m.kf_level[rows]],
-        obs_pt, pts0, pt_opt, K, lm_iters=iters,
+        obs_pt, pts0, pt_opt, K, kf_ur=kf_ur, bf=bf, lm_iters=iters,
     )
     upd = rmask & ~fixed
     kf_pose = m.kf_pose.at[rows].set(

@@ -174,6 +174,56 @@ def point_observers(m: MapState):
     return jnp.sum(incidence(m), axis=0).astype(jnp.int32)
 
 
+def _first_occurrence(obs):
+    """[...,F] bool: True where obs[...,f] is the FIRST feature in its row
+    pointing at that point slot. After `fuse_duplicates` remaps
+    observations, one row can reference the same point through several
+    features; counting structures (covisibility, observer counts) must
+    count such a (KF, point) pair ONCE, like incidence's any-reduction."""
+    F = obs.shape[-1]
+    eq = obs[..., None, :] == obs[..., :, None]          # [...,F,F]
+    return jnp.argmax(eq, axis=-1) == jnp.arange(F)
+
+
+def point_observers_scatter(m: MapState):
+    """`point_observers` as a [K*F] scatter-add instead of the [K,F,P]
+    compare-reduce: far less arithmetic, but TPU scatters serialize —
+    benchmarks/tpu_sweep.py measures which wins on the real chip."""
+    P = m.pt_capacity
+    live = ((m.kf_obs >= 0) & m.kf_valid[:, None]
+            & _first_occurrence(m.kf_obs))
+    tgt = jnp.where(live, m.kf_obs, P)  # overflow slot
+    counts = jnp.zeros((P + 1,), jnp.int32).at[tgt.reshape(-1)].add(
+        live.reshape(-1).astype(jnp.int32),
+    )[:P]
+    return jnp.where(m.pt_valid, counts, 0)
+
+
+def covis_row(m: MapState, center):
+    """[K] int32 covisibility row of keyframe `center`, bit-equal to
+    `covisibility(m)[center]` WITHOUT materializing the [K,P] incidence:
+    compare every row's observations against the center's dedup'd point
+    list ([K,F,F] tiled compare-any — ~P/F times less arithmetic than the
+    [K,F,P] incidence at P=8192, F~1300)."""
+    K, F = m.kf_obs.shape
+    obs_c = m.kf_obs[center]                                  # [F]
+    ok_c = ((obs_c >= 0) & _first_occurrence(obs_c)
+            & m.pt_valid[jnp.clip(obs_c, 0)])
+    ref = jnp.where(ok_c, obs_c, -2)   # -2: never matches (-1 = empty slot)
+    tile = 16 if K % 16 == 0 else (8 if K % 8 == 0 else 1)
+
+    def one_tile(ob):  # [kt,F] -> [kt]: distinct center-points seen
+        hit = ob[:, :, None] == ref[None, None, :]            # [kt,F,F]
+        return jnp.sum(jnp.any(hit, axis=1), axis=1)
+
+    cov = jax.lax.map(
+        one_tile, m.kf_obs.reshape(K // tile, tile, F)
+    ).reshape(K).astype(jnp.int32)
+    return jnp.where(
+        m.kf_valid & (jnp.arange(m.kf_capacity) != center), cov, 0
+    )
+
+
 # --------------------------------------------------------------------------
 # mutation ops (pure; all fixed-shape)
 # --------------------------------------------------------------------------

@@ -601,9 +601,11 @@ class SlamAgent:
 
     def _dispatch_gba(self, merged, weld_kf: int):
         fc = self.config.frontend
+        bf = (float(self.tracker.K[0]) * self.config.baseline
+              if self.config.depth_sensor else None)
         res, _ = local_mapping.global_ba(
             merged, self.tracker.K, iters=8,
-            n_levels=fc.n_levels, scale_factor=fc.scale_factor,
+            n_levels=fc.n_levels, scale_factor=fc.scale_factor, bf=bf,
         )
         self._pending_gba = {
             "res_pose": res.kf_pose, "res_pt": res.pt_pos,

@@ -66,34 +66,46 @@ def unpack_arrays(blob: bytes) -> dict:
     if rawlen < 8 or rawlen > (len(blob) - 8) * 1024 or rawlen > (1 << 32):
         raise ValueError("corrupt packet: bogus raw length")
     d = zlib.decompressobj()
-    raw = d.decompress(blob[8:], rawlen)
-    # over-long streams leave unprocessed compressed input in unconsumed_tail
-    # (d.decompress(b"", 1) alone would NOT re-feed it, silently truncating);
-    # re-feeding the tail surfaces any extra decompressed bytes
-    extra = d.decompress(d.unconsumed_tail, 1) if d.unconsumed_tail else b""
+    try:
+        raw = d.decompress(blob[8:], rawlen)
+        # over-long streams leave unprocessed compressed input in
+        # unconsumed_tail (d.decompress(b"", 1) alone would NOT re-feed it,
+        # silently truncating); re-feeding surfaces any extra bytes
+        extra = d.decompress(d.unconsumed_tail, 1) if d.unconsumed_tail else b""
+    except zlib.error as e:
+        raise ValueError(f"corrupt packet: {e}") from None
     if len(raw) != rawlen or extra or d.decompress(b"", 1):
         raise ValueError("corrupt packet: length mismatch")
-    off = 0
-    magic, n = struct.unpack_from("<II", raw, off)
-    if magic != MAGIC:
-        raise ValueError("corrupt packet: bad magic")
-    off += 8
-    out = {}
-    for _ in range(n):
-        (nlen,) = struct.unpack_from("<B", raw, off)
-        off += 1
-        name = raw[off:off + nlen].decode()
-        off += nlen
-        code, ndim = struct.unpack_from("<BB", raw, off)
-        off += 2
-        dims = struct.unpack_from(f"<{ndim}I", raw, off)
-        off += 4 * ndim
-        dt = _DTYPES[code]
-        count = int(np.prod(dims)) if ndim else 1
-        arr = np.frombuffer(raw, dtype=dt, count=count, offset=off).reshape(dims)
-        off += arr.nbytes
-        out[name] = arr.copy()
-    return out
+    # hostile/corrupt/version-skewed input must surface as ValueError (the
+    # one documented failure type callers handle), not leak struct.error /
+    # KeyError / UnicodeDecodeError from the parse internals
+    try:
+        off = 0
+        magic, n = struct.unpack_from("<II", raw, off)
+        if magic != MAGIC:
+            raise ValueError("corrupt packet: bad magic")
+        off += 8
+        out = {}
+        for _ in range(n):
+            (nlen,) = struct.unpack_from("<B", raw, off)
+            off += 1
+            name = raw[off:off + nlen].decode()
+            off += nlen
+            code, ndim = struct.unpack_from("<BB", raw, off)
+            off += 2
+            dims = struct.unpack_from(f"<{ndim}I", raw, off)
+            off += 4 * ndim
+            if code not in _DTYPES:
+                raise ValueError(f"corrupt packet: unknown dtype {code}")
+            dt = _DTYPES[code]
+            count = int(np.prod(dims)) if ndim else 1
+            arr = np.frombuffer(raw, dtype=dt, count=count,
+                                offset=off).reshape(dims)
+            off += arr.nbytes
+            out[name] = arr.copy()
+        return out
+    except (struct.error, UnicodeDecodeError, OverflowError) as e:
+        raise ValueError(f"corrupt packet: {e}") from None
 
 
 class MapPacket(NamedTuple):
@@ -124,10 +136,15 @@ class MapPacket(NamedTuple):
     @staticmethod
     def from_bytes(blob: bytes) -> "MapPacket":
         d = unpack_arrays(blob)
-        # wire compat: packets from mono-only senders lack kf_ur
-        if "kf_ur" not in d:
+        # wire compat: packets from mono-only senders lack kf_ur; packets
+        # from NEWER senders may carry extra arrays — ignore those instead
+        # of crashing on an unexpected ctor kwarg
+        if "kf_ur" not in d and "kf_obs" in d:
             d["kf_ur"] = np.full(d["kf_obs"].shape, -1.0, np.float32)
-        return MapPacket(**d)
+        missing = [f for f in MapPacket._fields if f not in d]
+        if missing:
+            raise ValueError(f"corrupt packet: missing arrays {missing}")
+        return MapPacket(**{f: d[f] for f in MapPacket._fields})
 
     @property
     def n_kf(self):
@@ -201,19 +218,31 @@ def materialize(packet: MapPacket, feat_cap: int):
 
     k, p = packet.n_kf, max(packet.n_pt, 1)
     F = packet.kf_xy.shape[1]
-    assert F <= feat_cap
-    m = map_state.create(max(k, 1), p, F)
+    if F > feat_cap:
+        raise ValueError(
+            f"packet feature capacity {F} exceeds local {feat_cap}")
+
+    def padf(a, fill):
+        """Pad the feature axis to the LOCAL capacity: splice_map requires
+        matching [*, feat_cap, ...] shapes, and a peer may run a smaller
+        front-end budget."""
+        if F == feat_cap:
+            return a
+        shape = (a.shape[0], feat_cap - F) + a.shape[2:]
+        return np.concatenate([a, np.full(shape, fill, a.dtype)], axis=1)
+
+    m = map_state.create(max(k, 1), p, feat_cap)
     if k:
         m = m._replace(
             kf_pose=jnp.asarray(packet.kf_pose),
             kf_valid=jnp.ones((k,), bool),
-            kf_xy=jnp.asarray(packet.kf_xy),
-            kf_level=jnp.asarray(packet.kf_level.astype(np.int32)),
-            kf_angle=jnp.asarray(packet.kf_angle),
-            kf_desc=jnp.asarray(_unpack_bits(packet.kf_desc)),
-            kf_feat_valid=jnp.asarray(packet.kf_feat_valid),
-            kf_obs=jnp.asarray(packet.kf_obs),
-            kf_ur=jnp.asarray(packet.kf_ur),
+            kf_xy=jnp.asarray(padf(packet.kf_xy, 0)),
+            kf_level=jnp.asarray(padf(packet.kf_level.astype(np.int32), 0)),
+            kf_angle=jnp.asarray(padf(packet.kf_angle, 0)),
+            kf_desc=jnp.asarray(padf(_unpack_bits(packet.kf_desc), 0)),
+            kf_feat_valid=jnp.asarray(padf(packet.kf_feat_valid, False)),
+            kf_obs=jnp.asarray(padf(packet.kf_obs, -1)),
+            kf_ur=jnp.asarray(padf(packet.kf_ur, -1.0)),
             n_kf=jnp.int32(k),
         )
     if packet.n_pt:

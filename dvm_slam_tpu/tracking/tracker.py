@@ -742,7 +742,11 @@ class MonocularTracker:
             )
             self._push_auto_record(m, st, [timestamp], packed)
         else:
-            self._auto_imgs.append((img, timestamp))
+            # upload NOW (async H2D) rather than at dispatch: the transfer
+            # overlaps the in-flight batch's device compute instead of
+            # serializing in front of the next dispatch (~350 KB/frame is
+            # ~9 ms on the tunnel — half a 60 fps budget)
+            self._auto_imgs.append((jnp.asarray(img), timestamp))
             if len(self._auto_imgs) >= B:
                 imgs = jnp.stack([im for im, _ in self._auto_imgs])
                 tss = [t for _, t in self._auto_imgs]
@@ -1350,7 +1354,13 @@ class MonocularTracker:
                 if ns >= 0:
                     new_ts[ns] = t
             self.kf_timestamps = new_ts
-            self.last_kf_slot = int(kf_map[self.last_kf_slot])
+            ns = int(kf_map[self.last_kf_slot])
+            if ns < 0:
+                # capacity overflow dropped the query keyframe from the weld:
+                # fall back to the newest valid slot rather than silently
+                # indexing -1 (Python negative indexing = the LAST slot)
+                ns = int(merged.n_kf) - 1
+            self.last_kf_slot = ns
             if self.relocalizer is not None and hasattr(self.relocalizer, "reset"):
                 self.relocalizer.reset(self.config.kf_cap)  # slots changed
             if self.autonomous:

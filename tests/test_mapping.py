@@ -274,6 +274,60 @@ class TestBundleAdjustPCG:
         assert inl[2, :20].sum() == 0
         assert inl[2, 20:].sum() > 260
 
+    def test_stereo_rows_pin_metric_scale(self, rng):
+        """With only keyframe 0 (at the origin) fixed, a mono-only global BA
+        has a free scale gauge: a consistently scaled map has zero
+        reprojection error and survives the solve. The stereo disparity
+        rows must pull the map back to metric scale (review r3 finding:
+        bundle_adjust_pcg silently dropped them)."""
+        bf = float(K4[0]) * 0.1  # fx * 10cm baseline
+        poses, X, uv, obs_pt, sigma2 = make_ba_problem(rng, noise_px=0.0)
+        n_cams, n_pts = obs_pt.shape
+        # ground-truth right-u observations from the TRUE geometry
+        ur = []
+        for i in range(n_cams):
+            pc = lie.se3_apply(poses[i][None], jnp.asarray(X))
+            z = pc[:, 2]
+            u = K4[0] * pc[:, 0] / z + K4[2]
+            ur.append(np.asarray(u - bf / z))
+        ur = jnp.asarray(np.stack(ur))
+        # consistently scale the whole initialization by 1.1 ABOUT CAMERA
+        # 0's center (the fixed gauge camera): its pose is unchanged, every
+        # other center and point scales with it -> mono residuals stay ~0
+        s = 1.1
+        q0 = lie.se3_q(poses[0])
+        C0 = -lie.quat_rotate(lie.quat_conj(q0), lie.se3_t(poses[0]))
+        X0 = C0 + (jnp.asarray(X) - C0) * s
+
+        def scale_pose(T):
+            q = lie.se3_q(T)
+            C = -lie.quat_rotate(lie.quat_conj(q), lie.se3_t(T))  # center
+            Cs = C0 + (C - C0) * s
+            return lie.se3(q, -lie.quat_rotate(q, Cs))
+
+        poses0 = jax.vmap(scale_pose)(poses)
+        fixed = jnp.zeros((n_cams,), bool).at[0].set(True)
+
+        # mono-only: the scaled configuration is a valid optimum
+        newp_m, newx_m, chi2_m, _ = ba.bundle_adjust_pcg(
+            poses0, fixed, uv, sigma2, obs_pt, X0, jnp.ones(n_pts, bool),
+            K4, lm_iters=10, pcg_iters=40,
+        )
+        scale_m = float(jnp.median(
+            jnp.linalg.norm(newx_m - C0, axis=1)
+            / jnp.linalg.norm(jnp.asarray(X) - C0, axis=1)))
+        assert abs(scale_m - s) < 0.02, "mono gauge check (sanity)"
+
+        # with disparity rows: scale is observable and must return to 1
+        newp_s, newx_s, chi2_s, _ = ba.bundle_adjust_pcg(
+            poses0, fixed, uv, sigma2, obs_pt, X0, jnp.ones(n_pts, bool),
+            K4, kf_ur=ur, bf=jnp.float32(bf), lm_iters=20, pcg_iters=40,
+        )
+        scale_s = float(jnp.median(
+            jnp.linalg.norm(newx_s - C0, axis=1)
+            / jnp.linalg.norm(jnp.asarray(X) - C0, axis=1)))
+        assert abs(scale_s - 1.0) < 0.02, f"scale not recovered: {scale_s}"
+
     def test_scales_past_dense_window(self, rng):
         """A 40-camera / 1500-point problem — larger than the old dense
         global-BA window — converges and moves every free camera."""
