@@ -165,6 +165,35 @@ def preintegrate(calib: ImuCalib, acc, gyro, dts, bias_g=None, bias_a=None):
     return p
 
 
+# Window lengths are padded up to one of these before `preintegrate`, so the
+# jitted scan compiles once per bucket instead of once per length (the
+# anchor-keyframe window grows every frame — unpadded, that is a fresh XLA
+# compile per tracked frame).
+PAD_BUCKETS = (16, 64, 256, 1024)
+
+
+def preintegrate_padded(calib: ImuCalib, acc, gyro, dts,
+                        bias_g=None, bias_a=None):
+    """`preintegrate` with the sample count padded to a fixed bucket.
+
+    Exact: a dt=0 sample is an identity step through the whole update —
+    dP/dV/dR unchanged (every term scales by dt), bias Jacobians unchanged,
+    A becomes I and B becomes 0 so the covariance and its random-walk tail
+    add zero, and dT += 0. Windows longer than the largest bucket fall back
+    to the unpadded (per-length-compiled) path."""
+    acc = np.asarray(acc, np.float32).reshape(-1, 3)
+    gyro = np.asarray(gyro, np.float32).reshape(-1, 3)
+    dts = np.asarray(dts, np.float32).reshape(-1)
+    n = dts.shape[0]
+    cap = next((b for b in PAD_BUCKETS if b >= n), None)
+    if cap is not None and cap != n:
+        pad = cap - n
+        acc = np.concatenate([acc, np.zeros((pad, 3), np.float32)])
+        gyro = np.concatenate([gyro, np.zeros((pad, 3), np.float32)])
+        dts = np.concatenate([dts, np.zeros((pad,), np.float32)])
+    return preintegrate(calib, acc, gyro, dts, bias_g=bias_g, bias_a=bias_a)
+
+
 # -- bias-corrected getters (ImuTypes.cc GetDeltaRotation/Velocity/Position) --
 
 def delta_rotation(p: Preintegrated, new_bias_g):

@@ -641,6 +641,9 @@ class LocalMapper:
         for i, sl in enumerate(slots):
             tracker.kf_vel[sl] = np.asarray(R_align @ vels[i], np.float32)
         tracker.bias_g = np.asarray(bg, np.float32)
+        for sl in slots:  # chain keyframes now carry the estimated bias
+            tracker.kf_bias[sl] = (tracker.bias_g.copy(),
+                                   tracker.bias_a.copy())
         tracker.vel_w = tracker.kf_vel[slots[-1]]
         tracker.imu_initialized = True
         # VIBA over the whole chain (VIBA1/VIBA2, LocalMapping.cc:228-256)
@@ -718,8 +721,11 @@ class LocalMapper:
         )
         pt_pos = jnp.where(m.pt_valid[:, None], pts2, m.pt_pos)
         v_np = np.asarray(w2.v)
+        bg_np, ba_np = np.asarray(w2.bg), np.asarray(w2.ba)
         for i, sl in enumerate(slots):
             tracker.kf_vel[sl] = v_np[i]
+            tracker.kf_bias[sl] = (bg_np[i].astype(np.float32),
+                                   ba_np[i].astype(np.float32))
         tracker.vel_w = v_np[-1]
         tracker.bias_g = np.asarray(w2.bg[-1])
         tracker.bias_a = np.asarray(w2.ba[-1])

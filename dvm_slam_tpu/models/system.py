@@ -115,6 +115,11 @@ class System:
             self.tracker.auto_mode = True
             self.tracker.auto_batch = int(getattr(settings, "auto_batch", 4))
             self.tracker.async_depth = int(getattr(settings, "async_depth", 8))
+        elif getattr(settings, "autonomous", True) and inertial:
+            # inertial modes overlap through the pipelined VI lane: pose/
+            # velocity/bias ride the device-future chain, the state machine
+            # retires async_depth frames later (tracker._track_pipelined_vi)
+            self.tracker.async_depth = int(getattr(settings, "async_depth", 8))
 
     # -- tracking -------------------------------------------------------
 

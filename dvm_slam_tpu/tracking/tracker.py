@@ -401,9 +401,11 @@ class MonocularTracker:
         self.bias_a = np.zeros(3, np.float32)
         self._imu_frame = []   # (acc,gyro,dts) chunks since last frame
         self._imu_kf = []      # chunks since last keyframe
+        self._imu_seq = 0      # total chunks ever grabbed (monotonic)
         self.kf_chain = []     # keyframe slots in creation order
         self.kf_preint = {}    # slot -> Preintegrated from previous chain KF
         self.kf_vel = {}       # slot -> body velocity [3] np
+        self.kf_bias = {}      # slot -> (bias_g, bias_a) np at creation
         self._last_good_ts = None
         self.map = map_state.create(config.kf_cap, config.pt_cap, config.frontend.capacity)
         self.meta = map_state.MapMeta.create(config.kf_cap, config.pt_cap, agent_id=0)
@@ -434,6 +436,22 @@ class MonocularTracker:
         # round-trip on every frame. Visual-only (IMU mode stays sync).
         self.async_depth = 0
         self._pipeline = []      # [(timestamp, frame, res)] pending frames
+        # --- pipelined VI chains (async_depth > 0 with inertial=True):
+        # velocity and bias ride the device-future chain like last_pose;
+        # host mirrors (vel_w/bias_g/bias_a) catch up at retire time and
+        # seed preintegration (first-order bias Jacobians inside the
+        # refine absorb the depth-frames lag, like the reference's
+        # last-keyframe bias anchor). None = re-seed from mirrors.
+        self._vel_dev = None
+        self._bias_g_dev = None
+        self._bias_a_dev = None
+        # bumped by apply_world_sim3: a retire that triggers a world rebase
+        # (IMU init / VIBA scale / merge-back) must drop in-flight records.
+        # _pending_rebase_S accumulates the composed Sim3 so the retire can
+        # transport the chain head into the new world frame (folding the
+        # scale into translation composes cleanly: fold(fold(X)∘Y)=fold(X∘Y))
+        self._rebase_gen = 0
+        self._pending_rebase_S = None
         # --- device-autonomous mode (enter_autonomous): keyframe decision
         # and mapper chain run on-device; flags retire async_depth late
         self.autonomous = False
@@ -520,6 +538,15 @@ class MonocularTracker:
             if pose is not None:
                 self.trajectory.append((timestamp, pose, self.state))
             return pose
+        if self._vi_pipeline_active(timestamp):
+            # pipelined VI: the IMU-predicted pose is part of the device
+            # chain, so extraction runs as its own dispatch here
+            frame = make_frame(img, self.K, self.dist, self.config.frontend,
+                               camera_model=self.config.camera_model)
+            pose = self._track_pipelined_vi(frame, timestamp)
+            if pose is not None:
+                self.trajectory.append((timestamp, pose, self.state))
+            return pose
         T_pred, v_pred = self._predict_pose()
         frame, res, pv, pf = make_and_track(img, self.map, T_pred, self.K,
                                             self.dist, self.config)
@@ -583,6 +610,7 @@ class MonocularTracker:
                  np.asarray(dts, np.float32).reshape(-1))
         self._imu_frame.append(chunk)
         self._imu_kf.append(chunk)
+        self._imu_seq += 1  # monotonic: anchors pipelined-VI window splits
 
     def process_image_inertial(self, img, timestamp, acc, gyro, dts):
         """`System::TrackMonocular` with IMU measurements (the inertial
@@ -595,8 +623,11 @@ class MonocularTracker:
         acc = np.concatenate([c[0] for c in chunks])
         gyr = np.concatenate([c[1] for c in chunks])
         dts = np.concatenate([c[2] for c in chunks])
-        return imu_mod.preintegrate(self.imu_calib, acc, gyr, dts,
-                                    bias_g=self.bias_g, bias_a=self.bias_a)
+        # padded: the anchor-KF window grows every frame; unpadded, each
+        # length is a fresh XLA compile of the scan
+        return imu_mod.preintegrate_padded(self.imu_calib, acc, gyr, dts,
+                                           bias_g=self.bias_g,
+                                           bias_a=self.bias_a)
 
     def _body_state(self, T_cw):
         """T_cw -> (R_wb [3,3], p_w [3]) through the body-camera extrinsic."""
@@ -635,6 +666,8 @@ class MonocularTracker:
                 pose = self._try_initialize(frame)
         elif self.async_depth > 0 and not self.inertial:
             pose = self._track_pipelined(frame, timestamp)
+        elif self._vi_pipeline_active(timestamp):
+            pose = self._track_pipelined_vi(frame, timestamp)
         else:
             pose = self._track(frame, timestamp)
         if pose is not None:
@@ -666,6 +699,8 @@ class MonocularTracker:
     def _retire_pipelined(self):
         """Resolve the oldest in-flight frame and run its host-side state
         machine (lost handling, visibility counters, keyframe decision)."""
+        if len(self._pipeline[0]) == 5:  # VI record
+            return self._retire_vi(*self._pipeline.pop(0))
         ts, frame, res, vis = self._pipeline.pop(0)
         n_inl = int(res.n_inliers)  # readback started at dispatch time
         if n_inl < self.config.min_track_inliers:
@@ -696,6 +731,236 @@ class MonocularTracker:
         """Drain all in-flight frames (sequence end / before map export)."""
         while self._pipeline:
             self._retire_pipelined()
+
+    # -- pipelined visual-inertial tracking ---------------------------------
+    #
+    # The reference overlaps its tracking/mapping threads in ALL sensor
+    # modes (System.cc:209,226); the sync VI path here pays two blocking
+    # device round-trips per frame (inlier gate + bias readback). This lane
+    # removes both: pose, velocity, and bias ride the device-future chain,
+    # the per-frame pose-inertial refinement runs unconditionally with a
+    # traced inlier gate selecting its outputs, and the host state machine
+    # retires records `async_depth` frames later from ONE packed async
+    # readback ([10]: n_inliers | v | bg | ba).
+
+    def _vi_pipeline_active(self, timestamp: float) -> bool:
+        """Route a frame to the pipelined VI lane? OK frames always; an
+        IMU-initialized RECENTLY_LOST span stays in the lane too — the
+        dispatch chain dead-reckons through it on device, and dropping to
+        the sync path mid-span would interleave out-of-order with records
+        still in flight."""
+        if not (self.async_depth > 0 and self.inertial):
+            return False
+        if self.state == OK:
+            return True
+        return (self.state == RECENTLY_LOST and self.imu_initialized
+                and self._last_good_ts is not None
+                and timestamp - self._last_good_ts < 5.0)
+
+    def _track_pipelined_vi(self, frame: Frame, timestamp: float):
+        from ..geometry import imu as imu_mod
+
+        if self._vel_dev is None:  # (re-)seed the device chain from mirrors
+            self._vel_dev = jnp.asarray(self.vel_w)
+            self._bias_g_dev = jnp.asarray(self.bias_g)
+            self._bias_a_dev = jnp.asarray(self.bias_a)
+        # -- prediction: dead-reckon the chained (in-flight) state ----------
+        T_pred, v_pred = None, None
+        if self.imu_initialized and self._imu_frame:
+            pre_f = self._cat_imu(self._imu_frame)
+            R_wb, p_w = self._body_state(self.last_pose)
+            R2, v2, p2 = imu_mod.predict_state(
+                pre_f, R_wb, self._vel_dev, p_w,
+                bias_g=self._bias_g_dev, bias_a=self._bias_a_dev,
+                gravity=jnp.asarray(imu_mod.GRAVITY),
+            )
+            q_bw = lie.quat_from_matrix(R2.T)
+            T_pred = lie.se3_mul(self.T_cb, lie.se3(q_bw, -(R2.T @ p2)))
+            v_pred = v2
+        if T_pred is None:
+            T_pred = lie.se3_mul(self.velocity, self.last_pose)
+        self._imu_frame = []
+
+        res = track_frame(self.map, frame, T_pred, self.K, self.config)
+        ok = res.n_inliers >= self.config.min_track_inliers
+        v_chain = self._vel_dev if v_pred is None else v_pred
+        bg_chain, ba_chain = self._bias_g_dev, self._bias_a_dev
+        # bad frame -> the chain dead-reckons through it (RECENTLY_LOST
+        # continuation is built into the dispatch, `Tracking.cc:1784-1812`)
+        T_sel = jnp.where(ok, res.T_cw, T_pred)
+
+        s = self.last_kf_slot
+        if (self.imu_initialized and self._imu_kf
+                and s is not None and s >= 0):
+            # Optimizer::PoseInertialOptimizationLastKeyFrame (:4181) with
+            # the gate traced: always dispatched, outputs selected by `ok`
+            pre = self._cat_imu(self._imu_kf)
+            T_cb_inv = lie.se3_inv(self.T_cb)
+            T_bw0 = lie.se3_mul(T_cb_inv, res.T_cw)
+            T_bw_a = lie.se3_mul(T_cb_inv, self.map.kf_pose[s])
+            v_a = jnp.asarray(self.kf_vel.get(s, np.zeros(3, np.float32)))
+            # bias random walk anchored at the KEYFRAME's bias (stable
+            # between keyframes, `Optimizer.cc:4181`) — anchoring at the
+            # rolling mirror would 2-cycle through the retire lag
+            bg_a, ba_a = self.kf_bias.get(s, (self.bias_g, self.bias_a))
+            valid = res.obs >= 0
+            pts = self.map.pt_pos[jnp.clip(res.obs, 0)]
+            sigma2 = jnp.asarray(self.config.frontend.sigma2,
+                                 jnp.float32)[frame.level]
+            T_bw, v, bg2, ba2, inl, _ = pose_opt.pose_inertial_optimization(
+                T_bw0, v_chain, bg_chain, ba_chain,
+                T_bw_a, v_a, jnp.asarray(bg_a), jnp.asarray(ba_a), pre,
+                pts, frame.xy, sigma2, valid, self.K, self.T_cb,
+                jnp.asarray(imu_mod.GRAVITY),
+            )
+            # the inertial refinement's role is robustness when the VISUAL
+            # solve is weak (few inliers — low texture, motion blur); on a
+            # well-tracked frame the visual solution is the better estimate
+            # and the anchored inertial prior only drags it (the sync mono
+            # path equivalently tracks visually and dead-reckons the VI
+            # state). Select the refined output only for weak frames.
+            weak = res.n_inliers < 4 * self.config.min_track_inliers
+            use_ref = ok & weak
+            T_sel = jnp.where(
+                use_ref, lie.se3_mul(self.T_cb, T_bw), T_sel)
+            res = res._replace(
+                T_cw=T_sel,
+                obs=jnp.where(use_ref & ~inl, -1, res.obs),
+                n_inliers=jnp.where(use_ref, jnp.sum(inl), res.n_inliers),
+            )
+            v_chain = jnp.where(use_ref, v, v_chain)
+            bg_chain = jnp.where(use_ref, bg2, bg_chain)
+            ba_chain = jnp.where(use_ref, ba2, ba_chain)
+        else:
+            res = res._replace(T_cw=T_sel)
+
+        packed = jnp.concatenate([
+            res.n_inliers.astype(jnp.float32)[None],
+            v_chain, bg_chain, ba_chain,
+        ])
+        packed.copy_to_host_async()  # ONE async D2H per frame
+        self.velocity = lie.se3_mul(res.T_cw, lie.se3_inv(self.last_pose))
+        self.last_pose = res.T_cw
+        self._vel_dev = v_chain
+        self._bias_g_dev, self._bias_a_dev = bg_chain, ba_chain
+        self._pipeline.append((timestamp, frame, res, packed,
+                               self._imu_seq))
+        # retire eagerly once a record's packed readback has landed (same
+        # policy as the autonomous lane): the state machine stays ~1 frame
+        # behind instead of async_depth, with the depth bound as backstop
+        while (self._pipeline
+               and ((len(self._pipeline) >= 2
+                     and self._record_ready((None, self._pipeline[0][3])))
+                    or len(self._pipeline) > self.async_depth)):
+            self._retire_pipelined()
+        return res.T_cw
+
+    def _retire_vi(self, ts, frame, res, packed, imu_seq):
+        """Retire one in-flight VI frame: fold the packed readback into the
+        host mirrors and run the state machine (loss handling, visibility,
+        keyframe decision with correct IMU-window attribution)."""
+        rec = np.asarray(packed)  # readback started at dispatch time
+        n_inl = int(rec[0])
+        v_host = rec[1:4].astype(np.float32)
+        bg_host = rec[4:7].astype(np.float32)
+        ba_host = rec[7:10].astype(np.float32)
+        if n_inl < self.config.min_track_inliers:
+            if (self.imu_initialized and self._last_good_ts is not None
+                    and ts - self._last_good_ts < 5.0):
+                # the dispatch chain already dead-reckoned through this
+                # frame (T_pred selected on device); keep streaming
+                self.state = RECENTLY_LOST
+                self.vel_w, self.bias_g, self.bias_a = (
+                    v_host, bg_host, ba_host)
+                self.frames_since_kf += 1
+                return
+            self.state = RECENTLY_LOST if self.state == OK else LOST
+            self._lost_frames += 1
+            self._pipeline.clear()
+            self.velocity = lie.se3_identity()
+            self._vel_dev = None  # re-seed from mirrors on re-entry
+            if (self.atlas is not None and self.state == LOST
+                    and self._lost_frames >= 5 and int(self.map.n_kf) >= 10):
+                self._new_map_in_atlas()
+            return
+        self._lost_frames = 0
+        self.state = OK
+        self._last_good_ts = ts
+        self.vel_w, self.bias_g, self.bias_a = v_host, bg_host, ba_host
+        self.map = update_visibility(self.map, res.visible, res.found)
+        self.frames_since_kf += 1
+        self._cur_ts = ts  # the decision + keyframe stamp use THIS frame
+        if self._need_new_keyframe(n_inl):
+            # the keyframe's IMU window ends at THIS frame, not at the
+            # newest dispatched one. The split point is recovered from the
+            # monotonic grab counter — an absolute list index would go
+            # stale the moment an EARLIER retire created a keyframe and
+            # truncated _imu_kf (mis-sliced windows corrupt kf_preint and
+            # with it the whole IMU initialization)
+            n_after = self._imu_seq - imu_seq  # chunks grabbed since dispatch
+            cut = max(0, len(self._imu_kf) - n_after)
+            tail = self._imu_kf[cut:]
+            self._imu_kf = self._imu_kf[:cut]
+            gen0 = self._rebase_gen
+            self._pending_rebase_S = None
+            chain = (self.last_pose, self._vel_dev,
+                     self._bias_g_dev, self._bias_a_dev)
+            self._create_keyframe(frame,
+                                  res._replace(n_inliers=np.int32(n_inl)))
+            self._imu_kf = tail
+            if self._rebase_gen != gen0:
+                # the keyframe triggered a world rebase (IMU init / VIBA
+                # scale / atlas merge): in-flight records hold old-frame
+                # poses — drop them. The chain head (newest dispatched
+                # pose) is transported into the new frame with the
+                # accumulated Sim3 so the next prediction does not jump
+                # back to the (older) keyframe pose; velocity/bias re-seed
+                # from the mirrors the init/VIBA routine just wrote.
+                self._pipeline.clear()
+                self.velocity = lie.se3_identity()
+                self._vel_dev = None
+                if self._pending_rebase_S is not None:
+                    S = self._pending_rebase_S
+                    Sc = lie.sim3_mul(lie.sim3_from_se3(chain[0]),
+                                      lie.sim3_inv(S))
+                    self.last_pose = lie.se3(
+                        lie.sim3_q(Sc),
+                        lie.sim3_t(Sc)
+                        / jnp.maximum(lie.sim3_s(Sc), 1e-12))
+                self._pending_rebase_S = None
+                if self.imu_initialized and tail:
+                    # the mirror velocity is valid at the KEYFRAME frame;
+                    # the chain head is len(tail) frames ahead. Propagate
+                    # it through the leftover IMU window — seeding the next
+                    # refine with a frames-stale velocity makes its
+                    # inertial prior drag the pose off the visual solution
+                    from ..geometry import imu as imu_mod
+                    pre_t = self._cat_imu(tail)
+                    s_kf = self.last_kf_slot
+                    R_wb, p_w = self._body_state(self.map.kf_pose[s_kf])
+                    _, v_head, _ = imu_mod.predict_state(
+                        pre_t, R_wb, jnp.asarray(self.vel_w), p_w,
+                        bias_g=jnp.asarray(self.bias_g),
+                        bias_a=jnp.asarray(self.bias_a),
+                        gravity=jnp.asarray(imu_mod.GRAVITY),
+                    )
+                    self._vel_dev = v_head
+                    self._bias_g_dev = jnp.asarray(self.bias_g)
+                    self._bias_a_dev = jnp.asarray(self.bias_a)
+            else:
+                # keep the newest-dispatched chain, but TRANSPORT the
+                # mapper's BA correction onto it: the keyframe moved from
+                # res.T_cw (as tracked) to map.kf_pose[s] (BA-refined);
+                # apply the same world-side delta to the chain pose so
+                # predictions keep following the refined map instead of
+                # drifting off it (sync mode gets this for free because
+                # on_new_keyframe resets last_pose to the refined pose)
+                s = self.last_kf_slot
+                delta = lie.se3_mul(lie.se3_inv(res.T_cw),
+                                    self.map.kf_pose[s])
+                self.last_pose = lie.se3_mul(chain[0], delta)
+                (self._vel_dev,
+                 self._bias_g_dev, self._bias_a_dev) = chain[1:]
 
     # -- device-autonomous mode (zero per-frame host syncs) -----------------
 
@@ -1224,7 +1489,11 @@ class MonocularTracker:
         """Re-base the tracker's continuation state by a world-level Sim3
         (gravity/scale alignment at IMU init, frame changes after merges):
         current pose composes like keyframe poses; the motion model resets."""
+        self._rebase_gen += 1
         Sj = jnp.asarray(S)
+        self._pending_rebase_S = (
+            Sj if self._pending_rebase_S is None
+            else lie.sim3_mul(Sj, self._pending_rebase_S))
         Sc = lie.sim3_mul(lie.sim3_from_se3(self.last_pose), lie.sim3_inv(Sj))
         self.last_pose = lie.se3(
             lie.sim3_q(Sc), lie.sim3_t(Sc) / jnp.maximum(lie.sim3_s(Sc), 1e-12)
@@ -1287,6 +1556,16 @@ class MonocularTracker:
             return False
         ratio = 0.75 if self.config.depth_sensor else self.config.kf_ref_ratio
         c1 = self.frames_since_kf >= self.config.max_frames_between_kf
+        # IMU modes insert keyframes at >=4 Hz once initialized
+        # (`Tracking.cc:2859` mSensor==IMU_* && dt>=0.25): the inertial BA
+        # chain needs short preintegration spans, and VIBA/scale refinement
+        # only runs on keyframe insertion
+        if (self.inertial and self.imu_initialized
+                and self._cur_ts is not None
+                and self.last_kf_slot in self.kf_timestamps
+                and self._cur_ts - self.kf_timestamps[self.last_kf_slot]
+                >= 0.25):
+            c1 = True
         c2 = n_inliers < ratio * max(self.ref_kf_tracked, 1)
         c3 = n_inliers > self.config.kf_min_inliers
         return (c1 or c2) and c3
@@ -1322,6 +1601,7 @@ class MonocularTracker:
                 self.kf_preint[s] = self._cat_imu(self._imu_kf)
             self.kf_chain.append(s)
             self.kf_vel[s] = np.asarray(self.vel_w, np.float32)
+            self.kf_bias[s] = (self.bias_g.copy(), self.bias_a.copy())
             self._imu_kf = []
         if self.local_mapper is not None:
             self.local_mapper.on_new_keyframe(self, s)

@@ -80,3 +80,31 @@ class TestPreintegration:
         g = np.asarray(imu.GRAVITY)
         np.testing.assert_allclose(np.asarray(v2), v + g * T, atol=1e-4)
         np.testing.assert_allclose(np.asarray(t2), p + 0.5 * g * T * T, atol=1e-4)
+
+
+class TestPaddedPreintegration:
+    def test_padding_is_exact(self, rng):
+        """dt=0 samples are identity steps: the bucket-padded preintegration
+        (one XLA compile per bucket instead of per window length) must be
+        BIT-equal to the unpadded scan on every field, including the
+        covariance and the bias Jacobians."""
+        calib = imu.ImuCalib.create()
+        for n in (3, 16, 17, 63, 100):
+            acc, gyro, dts, _ = simulate(rng, n=n)
+            ref = imu.preintegrate(calib, acc, gyro, dts)
+            pad = imu.preintegrate_padded(calib, acc, gyro, dts,
+                                          bias_g=np.full(3, 0.01, np.float32),
+                                          bias_a=np.full(3, -0.02, np.float32))
+            ref = imu.preintegrate(calib, acc, gyro, dts,
+                                   bias_g=np.full(3, 0.01, np.float32),
+                                   bias_a=np.full(3, -0.02, np.float32))
+            for f, a, b in zip(ref._fields, ref, pad):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), err_msg=f"{f} @ n={n}")
+
+    def test_oversize_window_falls_back(self, rng):
+        calib = imu.ImuCalib.create()
+        n = imu.PAD_BUCKETS[-1] + 5
+        acc, gyro, dts, _ = simulate(rng, n=n)
+        pre = imu.preintegrate_padded(calib, acc, gyro, dts)
+        assert abs(float(pre.dT) - n * 0.005) < 1e-3  # fp32 accumulation

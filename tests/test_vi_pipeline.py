@@ -387,3 +387,55 @@ class TestMergeInertialBA:
         # the async post-merge GBA retires cleanly on the inertial path too
         a.flush_gba()
         assert any(e[0] == "gba_applied" for e in a.log)
+
+
+class TestPipelinedVi:
+    def test_kf_imu_windows_match_timestamp_gaps(self):
+        """Pipelined VI (async_depth>0): keyframes are created at RETIRE
+        time while IMU chunks keep arriving for newer in-flight frames.
+        Each keyframe's preintegration window must still span exactly
+        [previous KF frame -> this KF frame] — a mis-split (e.g. slicing
+        _imu_kf by a stale absolute index after an earlier retire already
+        truncated it) corrupts the inertial edges and the IMU init."""
+        from dvm_slam_tpu.io import config as config_mod
+        from dvm_slam_tpu.models import system as system_mod
+
+        settings = config_mod.SystemSettings()
+        settings.camera = config_mod.CameraSettings(
+            fx=260.0, fy=260.0, cx=160.0, cy=120.0, width=320, height=240,
+            dist=(0.0, 0.0, 0.0, 0.0), fps=10.0,
+        )
+        settings.orb = config_mod.OrbSettings(n_features=600)
+        settings.kf_capacity = 64
+        settings.pt_capacity = 4096
+        settings.imu = config_mod.ImuSettings(frequency=100.0)
+        sys_ = system_mod.System(settings, sensor="imu-monocular", agent_id=1)
+        t = sys_.tracker
+        assert t.async_depth > 0  # pipelined VI is the production default
+
+        world = synthetic.PlaneWorld(seed=3, tex_size=1024, plane_z=6.0,
+                                     extent=30.0)
+        n = 32
+        poses, chunks, _ = synthetic.vi_trajectory(
+            n, fps=10.0, imu_rate=100.0, lateral=2.0, forward=0.5, z_amp=0.3,
+        )
+        K = jnp.asarray(settings.camera.K())
+        for i in range(n):
+            acc, gyr, dts = chunks[i]
+            img = np.asarray(world.render(jnp.asarray(poses[i]), K, 240, 320))
+            sys_.track_monocular_inertial(img, i * 0.1, acc, gyr, dts)
+        t.flush_pipeline()
+        assert t.imu_initialized
+        chain = t.kf_chain
+        assert len(chain) >= 4
+        checked = 0
+        for prev, cur in zip(chain[:-1], chain[1:]):
+            if cur not in t.kf_preint:
+                continue
+            dt_pre = float(t.kf_preint[cur].dT)
+            dt_ts = t.kf_timestamps[cur] - t.kf_timestamps[prev]
+            assert abs(dt_pre - dt_ts) < 1e-3, (
+                f"KF {prev}->{cur}: preintegration spans {dt_pre:.3f}s "
+                f"but timestamps span {dt_ts:.3f}s")
+            checked += 1
+        assert checked >= 3
