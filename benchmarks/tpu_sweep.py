@@ -268,6 +268,50 @@ def main():
                       "ms": round((time.perf_counter() - t0) / 3 * 1000, 1)}),
           flush=True)
 
+    # --- experiment 6: VI fps, sync vs pipelined lane ----------------------
+    # the pipelined VI lane replaces two blocking round-trips per frame
+    # (inlier gate + bias readback) with one packed async readback
+    try:
+        from dvm_slam_tpu.io import config as config_mod
+        from dvm_slam_tpu.models import system as system_mod
+        for depth, tag in ((0, "vi_sync"), (8, "vi_pipelined")):
+            settings = config_mod.SystemSettings()
+            settings.camera = config_mod.CameraSettings(
+                fx=float(K[0]), fy=float(K[1]), cx=float(K[2]),
+                cy=float(K[3]), width=W, height=H,
+                dist=(0.0, 0.0, 0.0, 0.0), fps=20.0)
+            settings.orb = config_mod.OrbSettings(n_features=1250)
+            settings.kf_capacity = 128
+            settings.pt_capacity = 8192
+            settings.imu = config_mod.ImuSettings(frequency=200.0)
+            sy = system_mod.System(settings, sensor="imu-monocular",
+                                   agent_id=1)
+            sy.tracker.async_depth = depth
+            vi_poses, vi_chunks, _ = synthetic.vi_trajectory(
+                150, fps=20.0, imu_rate=200.0, lateral=2.5, forward=0.8,
+                z_amp=0.3)
+            vi_imgs = [np.clip(np.asarray(world.render(
+                jnp.asarray(p), Kj, H, W)), 0, 255).astype(np.uint8)
+                for p in vi_poses]
+            for i in range(90):  # init + warm both dispatch shapes
+                a, g, d = vi_chunks[i]
+                sy.track_monocular_inertial(vi_imgs[i], i * 0.05, a, g, d)
+            n_vi = 60
+            t0 = time.perf_counter()
+            for i in range(90, 90 + n_vi):
+                a, g, d = vi_chunks[i]
+                sy.track_monocular_inertial(vi_imgs[i], i * 0.05, a, g, d)
+            sy.tracker.flush_pipeline()
+            jax.block_until_ready(sy.tracker.last_pose)
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "exp": tag, "fps": round(n_vi / dt, 2),
+                "imu_init": bool(sy.tracker.imu_initialized),
+                "state": sy.tracker.state}), flush=True)
+    except Exception as e:
+        print(json.dumps({"exp": "vi_fps", "error": str(e)[:200]}),
+              flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -1119,10 +1119,12 @@ class MonocularTracker:
         return not bool(good[-1])
 
     def drain_auto(self):
-        """Retire every pending autonomous record (and dispatch any frames
-        still buffered for a batch) so the host mirrors are current, WITHOUT
-        leaving autonomous mode unless a frame was lost. Call before any
-        host-side map surgery (merge / splice / rebase / serialization)."""
+        """Retire every pending record — autonomous flags AND pipelined
+        (visual or VI) in-flight frames — so the host mirrors are current,
+        WITHOUT leaving autonomous mode unless a frame was lost. Call
+        before any host-side map surgery (merge / splice / rebase /
+        serialization)."""
+        self.flush_pipeline()
         if not getattr(self, "autonomous", False):
             return
         self._flush_auto_buffer()
