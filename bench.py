@@ -196,8 +196,8 @@ def main():
     # relay round-trip, bookkeeping flags retire asynchronously. This is the
     # TPU-native answer to the reference's 3-thread overlap and the default
     # path of System/SlamAgent for visual modes.
-    t.async_depth = 8
-    t.auto_batch = 4
+    t.async_depth = int(os.environ.get("BENCH_ASYNC_DEPTH", 8))
+    t.auto_batch = int(os.environ.get("BENCH_AUTO_B", 4))
     e2e_auto_fps = 0.0
     kf_before_auto = int(t.map.n_kf)
     if t.enter_autonomous():

@@ -793,7 +793,7 @@ class MonocularTracker:
         if (self.imu_initialized and self._imu_kf
                 and s is not None and s >= 0):
             # Optimizer::PoseInertialOptimizationLastKeyFrame (:4181) with
-            # the gate traced: always dispatched, outputs selected by `ok`
+            # the gate traced: always dispatched, outputs selected below
             pre = self._cat_imu(self._imu_kf)
             T_cb_inv = lie.se3_inv(self.T_cb)
             T_bw0 = lie.se3_mul(T_cb_inv, res.T_cw)
