@@ -107,6 +107,14 @@ class SlamAgent:
             voc, K, fix_scale=self.tracker.config.depth_sensor)
         self._db_slots = set()
         self._kf_bows = {}          # slot -> dense bow (own KFs)
+        # host mirror of map.kf_valid: refreshed ONCE per tracker.map_epoch
+        # (merge/splice/atlas/GBA-fold — paths that already block on the
+        # device); between epochs kf slots are append-only valid, so the
+        # protocol loop never issues a per-frame kf_valid readback (each one
+        # would serialize the whole in-flight autonomous dispatch chain)
+        self._kf_valid_host = np.zeros(config.kf_cap, bool)
+        self._kf_valid_n = 0
+        self._kf_valid_epoch = self.tracker.map_epoch
         self.key = jax.random.PRNGKey(1000 + agent_id)
         self._was_lost = False
         self._scale_interval = SCALE_ALIGN_BASE_INTERVAL
@@ -165,9 +173,21 @@ class SlamAgent:
     def _is_lost(self):
         return self.tracker.state in (trk.RECENTLY_LOST, trk.LOST)
 
+    def _host_kf_valid(self, n: int):
+        """kf_valid[:n] from the host mirror — no device sync on the normal
+        path (see __init__ note). `n` must come from tracker.n_kf_host."""
+        if self._kf_valid_epoch != self.tracker.map_epoch:
+            self._kf_valid_host = np.array(np.asarray(self.map.kf_valid))
+            self._kf_valid_n = n
+            self._kf_valid_epoch = self.tracker.map_epoch
+        if n > self._kf_valid_n:
+            self._kf_valid_host[self._kf_valid_n:n] = True
+            self._kf_valid_n = n
+        return self._kf_valid_host[:n]
+
     def _own_kf_slots(self):
-        n = int(self.map.n_kf)
-        valid = np.asarray(self.map.kf_valid[:n])
+        n = self.tracker.n_kf_host
+        valid = self._host_kf_valid(n)
         creators = self.meta.kf_creator[:n]
         return [i for i in range(n) if valid[i] and creators[i] == self.agent_id]
 
@@ -181,9 +201,11 @@ class SlamAgent:
         # only slots whose host metadata has retired: in autonomous mode the
         # device KF counter runs ahead of uuid/creator assignment, and a
         # slot registered before its creator is known would be mis-skipped
-        # by the own-KF bookkeeping forever (slots enter _db_slots once)
-        n = min(int(self.map.n_kf), self.tracker.n_kf_host)
-        valid = np.asarray(self.map.kf_valid[:n])
+        # by the own-KF bookkeeping forever (slots enter _db_slots once).
+        # n_kf_host (<= device n_kf always) and the host valid mirror keep
+        # this scan free of device readbacks on frames with nothing new.
+        n = self.tracker.n_kf_host
+        valid = self._host_kf_valid(n)
         new_slots = [s for s in range(n)
                      if s not in self._db_slots and valid[s]]
         if not new_slots:
@@ -269,6 +291,9 @@ class SlamAgent:
 
     def _send_new_key_frames(self):
         """Incremental sharing to merged peers (`:212-384`)."""
+        if not any(p.successfully_merged and not p.is_lost_from_base_map
+                   for p in self.peers):
+            return  # nothing to share — keep the frame loop free of syncs
         self.tracker.flush_meta()
         for peer in self.peers:
             if not peer.successfully_merged or peer.is_lost_from_base_map:
@@ -509,6 +534,7 @@ class SlamAgent:
         self.tracker.map = merged
         self.tracker.meta = meta
         self.tracker.n_kf_host = int(merged.n_kf)
+        self.tracker.map_epoch += 1  # slot layout changed: refresh mirrors
         if self.post_merge_global_ba:
             # full-map GBA (matrix-free Schur PCG — no KF/point truncation),
             # the role of the reference's *detached* GBA thread
@@ -789,6 +815,7 @@ class SlamAgent:
         self.tracker.map = merged
         self.tracker.meta = meta
         self.tracker.n_kf_host = int(merged.n_kf)
+        self.tracker.map_epoch += 1  # slot layout changed: refresh mirrors
         if m.sender_agent_id in self.peers.peers:
             self.peers[m.sender_agent_id].sent_key_frame_uuids.update(
                 msgs.uuid_key(u) for u in packet.kf_uuid
@@ -827,8 +854,6 @@ class SlamAgent:
     # ------------------------------------------------------------------
 
     def _update_map_scale(self, ts):
-        self.tracker.drain_auto()
-        self.tracker.flush_meta()
         self._next_scale_ts = ts + self._scale_interval
         target = self.peers.lowest_merged_peer()
         if target is None or target > self.agent_id:
@@ -837,6 +862,11 @@ class SlamAgent:
                                    msgs.GetMapPointsRequest(self.agent_id))
         if resp is None or len(resp.uuids) == 0:
             return
+        # real alignment work ahead — only NOW settle the pipeline (a drain
+        # on every timer tick would dispatch partial autonomous batches and
+        # stall the loop even for agents with no merged peer)
+        self.tracker.drain_auto()
+        self.tracker.flush_meta()
         n = int(self.map.n_pt)
         mine_valid = np.asarray(self.map.pt_valid[:n])
         lut = {msgs.uuid_key(u): i for i, u in enumerate(self.meta.pt_uuid[:n])

@@ -428,6 +428,15 @@ class MonocularTracker:
         self._init_ts = None
         self.meta_dirty = False  # new points exist whose uuids are unassigned
         self.n_kf_host = 0       # host mirror of map.n_kf (KFs are append-only)
+        # structural-map-change epoch: bumped whenever kf slots are rebuilt
+        # or revalidated wholesale (atlas stash/merge-back, agent merge/
+        # splice/frame-change/GBA-fold). Consumers that mirror per-slot kf
+        # state on the host (SlamAgent._host_kf_valid) refresh on a bump and
+        # otherwise never touch the device — KF slots are append-only valid
+        # on the normal path, so a per-frame kf_valid readback (which would
+        # serialize the whole in-flight autonomous chain behind a blocking
+        # D2H) carries no information between epochs.
+        self.map_epoch = 0
         # --- pipelined mode (async_depth > 0): the per-frame readback of
         # n_inliers is overlapped with the next frames' dispatches; state-
         # machine decisions run `async_depth` frames behind. This is the
@@ -1529,6 +1538,7 @@ class MonocularTracker:
         self.map = map_state.create(cfg.kf_cap, cfg.pt_cap, cfg.frontend.capacity)
         self.meta = map_state.MapMeta.create(cfg.kf_cap, cfg.pt_cap,
                                              agent_id=self.meta.agent_id)
+        self.map_epoch += 1
         self.state = NOT_INITIALIZED
         self.init_frame = None
         self.velocity = lie.se3_identity()
@@ -1623,6 +1633,7 @@ class MonocularTracker:
             self.map = merged
             self.meta = meta
             self.n_kf_host = int(merged.n_kf)
+            self.map_epoch += 1
             Sj = jnp.asarray(S_ab)
             Sc = lie.sim3_mul(lie.sim3_from_se3(self.last_pose), lie.sim3_inv(Sj))
             self.last_pose = lie.se3(
