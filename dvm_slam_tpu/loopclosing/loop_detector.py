@@ -17,6 +17,8 @@ behavioral parity.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -29,6 +31,40 @@ from . import pose_graph
 
 CONSISTENCY_REQUIRED = 3  # LoopClosing.cc:451
 MAX_MISSES = 2            # :462,501
+
+
+def _detect_verdict(key, m, db, covis, q, kf_slot, K, with_scale):
+    """Device-side detection verdict for ONE keyframe: candidate query +
+    Sim3 geometric verification, packed into a [12] f32 row:
+      [cand_ok, cand0, sim3_ok, n_inliers, S_ab(8)].
+    Traced end-to-end (kf_slot is a traced index) so the caller can batch
+    it under vmap and read the row back ASYNCHRONOUSLY — the host never
+    blocks on the verdict (the round-3 agent loop paid 3-4 full pipeline
+    syncs per keyframe here, serializing the whole in-flight autonomous
+    chain behind each `bool(...)` pull)."""
+    exclude = (covis[kf_slot] > 0).at[kf_slot].set(True)
+    cand, okc = database.detect_candidates(db, q, exclude, covis, n=3)
+    # Sim3 verify the best candidate unconditionally (it's off the critical
+    # path); the host gates the verdict on cand_ok at fold time
+    res = merge_mod.compute_sim3_between(
+        key, m, kf_slot, m, cand[0], K, with_scale=with_scale
+    )
+    return jnp.concatenate([
+        jnp.stack([okc[0].astype(jnp.float32),
+                   cand[0].astype(jnp.float32),
+                   res.ok.astype(jnp.float32),
+                   res.n_inliers.astype(jnp.float32)]),
+        res.S_ab.astype(jnp.float32),
+    ])
+
+
+@partial(jax.jit, static_argnames=("with_scale",))
+def detect_verdict_batch(keys, m, db, covis, qs, kf_slots, K,
+                         with_scale: bool = True):
+    """[n] keyframes' detection verdicts in ONE dispatch -> [n,12]."""
+    return jax.vmap(
+        _detect_verdict, in_axes=(0, None, None, None, 0, 0, None, None)
+    )(keys, m, db, covis, qs, kf_slots, K, with_scale)
 
 
 class LoopDetector:
@@ -47,28 +83,31 @@ class LoopDetector:
         self.key = jax.random.PRNGKey(77)
 
     def on_keyframe(self, m: map_state.MapState, meta, db, kf_slot: int):
-        """Run loop detection for a new keyframe. Returns (found, info)."""
+        """Run loop detection for a new keyframe SYNCHRONOUSLY (dispatch +
+        blocking fold). The production agent loop instead calls
+        `detect_verdict_batch` itself and folds the row asynchronously
+        (`SlamAgent._poll_protocol`). Returns (found, info)."""
         covis = map_state.covisibility(m)
         levels, idf = self.voc.device_arrays()
         q = vocabulary.bow_vector(
             levels, idf, m.kf_desc[kf_slot], m.kf_feat_valid[kf_slot],
             self.voc.branch, self.voc.n_words,
         )
-        # exclude the query keyframe and its covisible neighbors
-        exclude = covis[kf_slot] > 0
-        exclude = exclude.at[kf_slot].set(True)
-        cand, ok = database.detect_candidates(db, q, exclude, covis, n=3)
-        if not bool(ok[0]):
-            self._note_miss()
-            return False, None
-        cand0 = int(cand[0])
-
         self.key, sub = jax.random.split(self.key)
-        res = merge_mod.compute_sim3_between(
-            sub, m, jnp.int32(kf_slot), m, jnp.int32(cand0), self.K,
+        rows = detect_verdict_batch(
+            sub[None], m, db, covis, q[None],
+            jnp.asarray([kf_slot], jnp.int32), self.K,
             with_scale=not self.fix_scale,
         )
-        if not bool(res.ok):
+        return self.fold(np.asarray(rows)[0], meta, kf_slot)
+
+    def fold(self, row, meta, kf_slot: int):
+        """Host-side half of loop detection: apply one [12] verdict row
+        (see `_detect_verdict`) to the 3-consecutive-keyframe consistency
+        state (`LoopClosing.cc:451,494`). Rows must fold in keyframe order.
+        Returns (found, info)."""
+        cand_ok, cand0, sim3_ok = bool(row[0] > 0.5), int(row[1]), bool(row[2] > 0.5)
+        if not cand_ok or not sim3_ok:
             self._note_miss()
             return False, None
 
@@ -86,7 +125,7 @@ class LoopDetector:
         # loop confirmed: record the trigger (reference behavior)
         uuid = tuple(int(v) for v in meta.kf_uuid[kf_slot])
         self.triggers.append(uuid)
-        info = {"kf": kf_slot, "match": cand0, "S": np.asarray(res.S_ab)}
+        info = {"kf": kf_slot, "match": cand0, "S": np.asarray(row[4:12])}
         self._streak = 0
         self._streak_target = None
         return True, info

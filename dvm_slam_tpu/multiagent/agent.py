@@ -55,6 +55,27 @@ _bow_batch = jax.jit(
     static_argnums=(4, 5),
 )
 
+# sparse advertisement entries per keyframe, compacted ON DEVICE: a dense
+# [pad, W] readback is ~320 KB over the tunnel per batch; top-k is ~8 KB.
+# 1024 >= the feature budget, so compaction is exact (each feature votes
+# one word; a BoW has at most n_features nonzeros)
+_BOW_NZ = 1024
+
+def _bow_sparse_impl(bows, nz: int):
+    vals, keys = jax.lax.top_k(bows, nz)
+    return keys.astype(jnp.int32), vals
+
+
+_bow_sparse = jax.jit(_bow_sparse_impl, static_argnums=(1,))
+
+
+def _dev_ready(a):
+    """Non-blocking: has this device array's async readback landed?"""
+    try:
+        return a.is_ready()
+    except AttributeError:  # backends without is_ready: treat as done
+        return True
+
 
 class SlamAgent:
     def __init__(self, agent_id: int, config: trk.TrackerConfig, K, dist,
@@ -106,7 +127,7 @@ class SlamAgent:
         self.loop_detector = LoopDetector(
             voc, K, fix_scale=self.tracker.config.depth_sensor)
         self._db_slots = set()
-        self._kf_bows = {}          # slot -> dense bow (own KFs)
+        self._kf_bows = {}          # slot -> sparse (keys, values) bow (own KFs)
         # host mirror of map.kf_valid: refreshed ONCE per tracker.map_epoch
         # (merge/splice/atlas/GBA-fold — paths that already block on the
         # device); between epochs kf slots are append-only valid, so the
@@ -126,6 +147,13 @@ class SlamAgent:
         # the result back in when ready, and any map rebase/splice/newer
         # merge supersedes (aborts) it
         self._pending_gba = None
+        # in-flight protocol records (BoW registration + loop-detection
+        # verdicts): dispatched as pure device work when keyframes retire,
+        # folded back a few frames later when the async readback lands —
+        # same pattern as _pending_gba. The round-3 loop instead pulled
+        # `np.asarray(bows)` + 2-3 `bool(...)` verdicts per keyframe, each
+        # serializing the whole in-flight autonomous dispatch chain.
+        self._pending_protocol = []
         self.log = []
 
     # ------------------------------------------------------------------
@@ -144,6 +172,8 @@ class SlamAgent:
         spinning; a finite replay needs an explicit drain)."""
         self.tracker.drain_auto()
         self.tracker.flush_meta()
+        self._update_bow_db()            # register keyframes the drain retired
+        self._poll_protocol(block=True)
         self._poll_gba(block=True)
 
     def run_once(self, ts: float):
@@ -185,6 +215,28 @@ class SlamAgent:
             self._kf_valid_n = n
         return self._kf_valid_host[:n]
 
+    def check_invariants(self):
+        """Debug/test barrier: assert the host kf_valid mirror matches the
+        device array. The mirror's correctness rests on two conventions
+        (see `_host_kf_valid`): (a) no code path clears kf_valid between
+        map_epoch bumps, and (b) every wholesale map rebuild (merge, splice,
+        atlas swap, GBA fold) bumps `tracker.map_epoch`. A future KF-culling
+        or map-surgery path that forgets the bump would silently desync the
+        mirror — this check (cheap: one readback) catches that in tests.
+        Syncs the device, so never call it on the per-frame path."""
+        self.tracker.drain_auto()
+        n = self.tracker.n_kf_host
+        host = self._host_kf_valid(n)
+        dev = np.asarray(self.map.kf_valid)[:n]
+        if not bool((host == dev).all()):
+            bad = np.nonzero(host != dev)[0]
+            raise AssertionError(
+                f"host kf_valid mirror desynced at slots {bad[:8].tolist()} "
+                f"(epoch {self._kf_valid_epoch} vs map_epoch "
+                f"{self.tracker.map_epoch}): a map-surgery path forgot to "
+                f"bump tracker.map_epoch")
+        return True
+
     def _own_kf_slots(self):
         n = self.tracker.n_kf_host
         valid = self._host_kf_valid(n)
@@ -192,12 +244,16 @@ class SlamAgent:
         return [i for i in range(n) if valid[i] and creators[i] == self.agent_id]
 
     def _update_bow_db(self):
-        """Register BoWs of all new valid keyframes (own and spliced).
+        """Register BoWs of all new valid keyframes (own and spliced) and
+        dispatch own-map loop detection — ALL device work, folded back
+        asynchronously by `_poll_protocol` (triggers recorded, correction
+        disabled like the reference, LoopClosing.cc:328-339).
 
         Batched: one padded device call per frame instead of a per-slot
         loop — at 512-KF caps x 8 agents the per-slot dispatch dominated
-        the protocol loop. Pad counts to powers of two so jit traces stay
-        cached across batch sizes."""
+        the protocol loop. Pads are >=8 powers of two so the common case
+        reuses one cached trace."""
+        self._poll_protocol()
         # only slots whose host metadata has retired: in autonomous mode the
         # device KF counter runs ahead of uuid/creator assignment, and a
         # slot registered before its creator is known would be mis-skipped
@@ -211,7 +267,7 @@ class SlamAgent:
         if not new_slots:
             return
         k = len(new_slots)
-        pad = 1 << (k - 1).bit_length()
+        pad = max(8, 1 << (k - 1).bit_length())
         idx = jnp.asarray(new_slots + [new_slots[-1]] * (pad - k), jnp.int32)
         bows = _bow_batch(
             self.voc_levels, self.voc_idf,
@@ -220,20 +276,60 @@ class SlamAgent:
         )
         self.db = database.add_many(self.db, idx, bows)
         self._db_slots.update(new_slots)
-        own = [i for i, s in enumerate(new_slots)
+        own = [(i, s) for i, s in enumerate(new_slots)
                if self.meta.kf_creator[s] == self.agent_id]
-        if own:
-            bows_np = np.asarray(bows[:k])  # one host pull for the batch
-            for i in own:
-                slot = new_slots[i]
-                self._kf_bows[slot] = bows_np[i]
-                # own-map loop detection: triggers recorded, correction
-                # disabled like the reference (LoopClosing.cc:328-339)
-                found, info = self.loop_detector.on_keyframe(
-                    self.map, self.meta, self.db, slot
-                )
-                if found:
-                    self.log.append(("loop_trigger", slot, info["match"]))
+        if not own:
+            return
+        from ..loopclosing.loop_detector import detect_verdict_batch
+
+        keys_s, vals_s = _bow_sparse(bows, min(_BOW_NZ, self.voc.n_words))
+        covis = map_state.covisibility(self.map)
+        o = len(own)
+        o_pad = max(8, 1 << (o - 1).bit_length())
+        own_rows = [i for i, _ in own] + [own[-1][0]] * (o_pad - o)
+        own_slots = [s for _, s in own] + [own[-1][1]] * (o_pad - o)
+        self.key, sub = jax.random.split(self.key)
+        rows = detect_verdict_batch(
+            jax.random.split(sub, o_pad), self.map, self.db, covis,
+            bows[jnp.asarray(own_rows, jnp.int32)],
+            jnp.asarray(own_slots, jnp.int32), self.tracker.K,
+            with_scale=not self.loop_detector.fix_scale,
+        )
+        for a in (keys_s, vals_s, rows):
+            a.copy_to_host_async()
+        self._pending_protocol.append({
+            "own": own, "keys": keys_s, "vals": vals_s, "rows": rows,
+            "epoch": self.tracker.map_epoch,
+        })
+
+    def _poll_protocol(self, block: bool = False):
+        """Fold completed protocol records (sparse BoWs for advertisement +
+        loop-detection verdicts) back into the host state. Non-blocking by
+        default: a record whose readback hasn't landed stays queued (FIFO —
+        the loop detector's consistency streak needs keyframe order)."""
+        while self._pending_protocol:
+            rec = self._pending_protocol[0]
+            if not block and not all(
+                _dev_ready(rec[a]) for a in ("keys", "vals", "rows")
+            ):
+                return
+            self._pending_protocol.pop(0)
+            keys_np = np.asarray(rec["keys"])
+            vals_np = np.asarray(rec["vals"])
+            rows_np = np.asarray(rec["rows"])
+            for j, (i, slot) in enumerate(rec["own"]):
+                nz = vals_np[i] > 0
+                self._kf_bows[slot] = (keys_np[i][nz].astype(np.int64),
+                                       vals_np[i][nz].astype(np.float64))
+                # verdicts computed against a superseded slot layout are
+                # dropped (a merge/splice bumped map_epoch mid-flight);
+                # the bows stay — advertisement is uuid-keyed and own-KF
+                # slots are stable across the merge paths that bump epoch
+                if rec["epoch"] == self.tracker.map_epoch:
+                    found, info = self.loop_detector.fold(
+                        rows_np[j], self.meta, slot)
+                    if found:
+                        self.log.append(("loop_trigger", slot, info["match"]))
 
     def _slot_of_kf_uuid(self, uuid_pair):
         n = int(self.map.n_kf)
@@ -259,11 +355,10 @@ class SlamAgent:
             for slot in own:
                 u = msgs.uuid_key(self.meta.kf_uuid[slot])
                 if u in peer.sent_key_frame_bow_uuids or slot not in self._kf_bows:
-                    continue
-                bow = np.asarray(self._kf_bows[slot])
-                nz = np.nonzero(bow)[0]
+                    continue  # bow still in flight: advertised next round
+                keys, vals = self._kf_bows[slot]
                 fresh.append((u, msgs.KeyFrameBowVector(
-                    uuid=u, keys=nz.astype(np.int64), values=bow[nz].astype(np.float64)
+                    uuid=u, keys=keys, values=vals
                 )))
             if len(fresh) < MIN_BOW_SHARE_SIZE:
                 continue

@@ -484,7 +484,13 @@ class MonocularTracker:
     def flush_meta(self):
         """Assign uuids to points the (asynchronously dispatched) mapper
         created since the last flush. Called lazily by every consumer of
-        `meta` so the mapping chain never blocks the tracking loop."""
+        `meta` so the mapping chain never blocks the tracking loop.
+
+        NOTE: this lazy flush is the SOLE guard for pt_uuid freshness — no
+        per-frame flush exists. Every consumer of `meta.pt_uuid` /
+        `meta.pt_creator` (codec extract, scale alignment, merge paths)
+        must call it first; a new consumer that forgets reads zero uuids
+        for freshly-triangulated points."""
         if not self.meta_dirty:
             return
         npts = int(self.map.n_pt)  # syncs with the dispatched mapping chain

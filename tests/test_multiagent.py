@@ -207,3 +207,11 @@ class TestTwoAgentProtocol:
         # agent 2 (higher id) must have re-rooted under agent 1's origin
         assert agents[2].frames.parent_frame == "robot1/origin"
         assert agents[1].frames.parent_frame == "world"
+
+    def test_host_kf_valid_mirror_in_sync(self, protocol_run):
+        """After merges + splices (map_epoch bumps) the host kf_valid mirror
+        must equal the device array — guards the append-only-between-epochs
+        convention `_host_kf_valid` rests on (round-3 advisor item)."""
+        agents, bus, traj, gt = protocol_run
+        for a in agents.values():
+            assert a.check_invariants()
