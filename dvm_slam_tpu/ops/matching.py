@@ -51,13 +51,20 @@ def hamming_matrix(desc_a, desc_b):
     return pop_a[:, None] + pop_b[None, :] - 2 * common
 
 
-def masked_best_match(dist, mask, max_dist: int, ratio: float | None = None):
+def masked_best_match(dist, mask, max_dist: int, ratio: float | None = None,
+                      tie_ok: bool = False):
     """Row-wise best match under a validity mask.
 
     Args:
       dist: [N,M] distances; mask: [N,M] bool allowed pairs.
       max_dist: absolute acceptance threshold (TH_LOW / TH_HIGH).
       ratio: optional Lowe ratio — best < ratio * second_best.
+      tie_ok: with the ratio test on, still accept an EXACT tie
+        (best == second). An exact 256-bit tie from an unrelated feature is
+        vanishingly unlikely; it means the target set holds duplicate copies
+        of the same point (e.g. a map that spliced a peer's keyframes), and
+        either copy is a valid correspondence — the caller's geometric
+        check (RANSAC) stays the arbiter.
     Returns (idx [N] int32, best_dist [N] int32, ok [N] bool). idx is -1 when
     not ok.
     """
@@ -70,7 +77,11 @@ def masked_best_match(dist, mask, max_dist: int, ratio: float | None = None):
             jax.nn.one_hot(idx, d.shape[-1], dtype=bool), _BIG, d
         )
         second = jnp.min(d2, axis=-1)
-        ok = ok & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+        pass_ratio = (best.astype(jnp.float32)
+                      < ratio * second.astype(jnp.float32))
+        if tie_ok:
+            pass_ratio = pass_ratio | (best == second)
+        ok = ok & pass_ratio
     return jnp.where(ok, idx, -1), best, ok
 
 

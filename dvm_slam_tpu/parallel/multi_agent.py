@@ -33,6 +33,14 @@ from ..tracking import tracker as trk
 
 def make_mesh(n_agents: int, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()[:n_agents]
+    if len(devices) != n_agents:
+        # silently shrinking the mesh makes every collective degenerate
+        # (observed: a 1-device "4-agent" mesh runs but verifies nothing)
+        raise ValueError(
+            f"requested a {n_agents}-agent mesh but only {len(devices)} "
+            f"device(s) available — set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_agents} "
+            f"(and JAX_PLATFORMS=cpu) before backend init")
     return Mesh(np.asarray(devices), ("agent",))
 
 
@@ -121,6 +129,10 @@ class MeshProtocolState(NamedTuple):
     last_seen: jnp.ndarray  # [A] int32: newest peer KF id already integrated
     S_peer: jnp.ndarray     # [A,8] Sim3 peer-world -> my-world (q,t,s)
     S_ok: jnp.ndarray       # [A] bool: Sim3 geometrically verified
+    round: jnp.ndarray      # [] int32 protocol round counter (refresh cadence)
+    dropped: jnp.ndarray    # [A] int32 peer keyframes lost to backlog gaps
+                            # > window (surfaced, not silent — SURVEY "no
+                            # silent caps" discipline)
 
 
 def create_protocol_state(kf_cap: int, n_words: int, n_agents: int):
@@ -133,6 +145,8 @@ def create_protocol_state(kf_cap: int, n_words: int, n_agents: int):
             jnp.asarray([1, 0, 0, 0, 0, 0, 0, 1], jnp.float32),
             (n_agents, 1)),
         S_ok=jnp.zeros((n_agents,), bool),
+        round=jnp.int32(0),
+        dropped=jnp.zeros((n_agents,), jnp.int32),
     )
 
 
@@ -166,7 +180,11 @@ def build_protocol_step(mesh: Mesh, config: trk.TrackerConfig,
                         sim3_min_inliers: int = 20,
                         proj_min_matches: int = 50,
                         ransac_hypotheses: int = 200,
-                        match_max_dist: int = 60):
+                        match_max_dist: int = 60,
+                        refresh_every: int = 5,
+                        weld_ba: bool = True,
+                        pose_graph_after: bool = True,
+                        pose_graph_iters: int = 8):
     """One collective protocol round, SPMD over the ("agent",) mesh — the
     on-mesh realization of the reference's per-frame wrapper loop
     (`orb_slam3_wrapper.cpp:131-148` sendNewKeyFrameBows/sendNewKeyFrames):
@@ -196,7 +214,21 @@ def build_protocol_step(mesh: Mesh, config: trk.TrackerConfig,
          all-unsent-keyframes dedup semantics (`orb_slam3_wrapper.cpp:
          240-247`) for gaps up to `window` per round,
       7. optional duplicate fusion around the spliced keyframe
-         (`LocalMapping::SearchInNeighbors` role).
+         (`LocalMapping::SearchInNeighbors` role),
+      8. every `refresh_every` rounds the per-peer Sim3 is RE-VERIFIED from
+         the freshest packet (drift/scale re-alignment — the host path's
+         5 s `updateMapScale` timer, `orb_slam3_wrapper.cpp:766-833`): a
+         passing refit replaces S_peer, a failing one keeps the old weld,
+      9. backlog gaps larger than `window` are COUNTED per peer in
+         `state.dropped` (the keyframes the windowed re-offer can never
+         deliver) instead of dropped silently,
+     10. when a splice happened this round: windowed welding BA around the
+         spliced keyframe (`LoopClosing::MergeLocal` welding BA,
+         `LoopClosing.cc:1657` role) and, with `pose_graph_after`, an
+         essential-graph Sim3 optimization over device-built edges
+         (sequential chain + strongest covisibility neighbor per node) with
+         splice-time poses as the NonCorrectedSim3 measurements
+         (`Optimizer::OptimizeEssentialGraph`, `Optimizer.cc:1389` role).
 
     Returns jitted fn:
       (maps [A,...], states [A,...], K [A,4], own_slots [A,window] int32
@@ -286,9 +318,15 @@ def build_protocol_step(mesh: Mesh, config: trk.TrackerConfig,
         newest_idx = jnp.argmax(
             jnp.where(g["kf_id"] >= 0, g["kf_id"], -1), axis=1)  # [A]
         S_peer, S_ok = st1.S_peer, st1.S_ok
+        # periodic re-verification un-latches the weld: drift between two
+        # live maps is re-estimated from fresh correspondences (host path:
+        # the 5 s scale-alignment timer); a failed refit keeps the old S
+        refresh_due = (st1.round % jnp.int32(max(refresh_every, 1))
+                       ) == jnp.int32(max(refresh_every, 1) - 1)
         for a in range(A):
             wsel = newest_idx[a]
-            need = merged_row[a] & ~S_ok[a] & (jnp.int32(a) != me)
+            need = (merged_row[a] & (~S_ok[a] | refresh_due)
+                    & (jnp.int32(a) != me))
 
             # the [F,P] Hamming matrix + 200-hypothesis RANSAC is the
             # expensive part of the round; once a peer is verified (S_ok)
@@ -300,8 +338,14 @@ def build_protocol_step(mesh: Mesh, config: trk.TrackerConfig,
                 cand_ok = g["pt_ok"][_a][_wsel]         # [F]
                 dist = matching.hamming_matrix(cand_desc, m1.pt_desc)
                 mask = cand_ok[:, None] & m1.pt_valid[None, :]
+                # tie_ok: after a prior splice MY map holds duplicate copies
+                # of peer points (identical descriptors at the same world
+                # position) — a strict ratio test would reject every such
+                # match and the periodic re-verification could never refit;
+                # exact ties are accepted and RANSAC stays the gate
                 idx, _d, okm = matching.masked_best_match(
-                    dist, mask, max_dist=match_max_dist, ratio=0.9)
+                    dist, mask, max_dist=match_max_dist, ratio=0.9,
+                    tie_ok=True)
                 n_match = jnp.sum(okm)
                 dst = m1.pt_pos[jnp.clip(idx, 0)]
                 S, _inl, n_inl = alignment.ransac_umeyama(
@@ -322,6 +366,20 @@ def build_protocol_step(mesh: Mesh, config: trk.TrackerConfig,
             S_ok = S_ok.at[a].set(S_ok[a] | passed)
 
         last_seen = st1.last_seen
+        # backlog-overflow accounting: ids below the oldest entry a peer
+        # still re-offers can never splice — count them the moment the
+        # window slides past, instead of silently skipping (st.dropped)
+        has_any = jnp.any(g["kf_id"] >= 0, axis=1)               # [A]
+        oldest = jnp.min(
+            jnp.where(g["kf_id"] >= 0, g["kf_id"], jnp.iinfo(jnp.int32).max),
+            axis=1)                                              # [A]
+        receiving = (merged_row & S_ok & has_any
+                     & (jnp.arange(A) != me))
+        gap = jnp.maximum(0, oldest - last_seen - 1)
+        dropped = st1.dropped + jnp.where(receiving, gap, 0)
+        # the gap is permanently lost: advance last_seen past it so it is
+        # counted exactly once
+        last_seen = jnp.where(receiving & (gap > 0), oldest - 1, last_seen)
         spliced_any = jnp.zeros((), bool)
         spliced_slot = jnp.int32(0)
         for a in range(A):  # static unroll over the (small) agent axis
@@ -372,9 +430,68 @@ def build_protocol_step(mesh: Mesh, config: trk.TrackerConfig,
                 lambda a_, b_: jnp.where(spliced_any, a_, b_), fused, m1
             )
 
+        # --- post-merge optimization on mesh (host-path parity) ---
+        # splice-time poses are the essential-graph measurements
+        # (NonCorrectedSim3, `Optimizer.cc:1389`); the welding BA then moves
+        # the window around the spliced keyframe (`LoopClosing.cc:1657`)
+        poses_pre = m1.kf_pose
+        if weld_ba:
+            def _weld(mm):
+                mw, _ = local_mapping.local_ba(
+                    mm, spliced_slot, K1, n_local=8, n_fixed=4,
+                    n_pts=1024, iters=4,
+                    n_levels=fc.n_levels, scale_factor=fc.scale_factor,
+                )
+                return mw
+
+            m1 = jax.lax.cond(spliced_any, _weld, lambda mm: mm, m1)
+
+        if pose_graph_after:
+            from ..loopclosing import pose_graph as pg_mod
+
+            def _pg(mm):
+                # device-built essential edges (the host path builds them in
+                # numpy, impossible under shard_map): sequential chain +
+                # strongest covisibility neighbor per node, weight >= 30
+                covis2 = ms.covisibility(mm)
+                Kc = mm.kf_capacity
+                iiK = jnp.arange(Kc, dtype=jnp.int32)
+                top_w, top_i = jax.lax.top_k(covis2, 2)
+                nb = jnp.where(top_i[:, 0] != iiK, top_i[:, 0], top_i[:, 1])
+                nb_w = jnp.where(top_i[:, 0] != iiK, top_w[:, 0], top_w[:, 1])
+                ei = jnp.concatenate([iiK[1:], iiK])
+                ej = jnp.concatenate([iiK[:-1], nb.astype(jnp.int32)])
+                emask = jnp.concatenate([
+                    mm.kf_valid[1:] & mm.kf_valid[:-1],
+                    mm.kf_valid & mm.kf_valid[nb] & (nb_w >= 30) & (nb != iiK),
+                ])
+                poses_s = jax.vmap(lie.sim3_from_se3)(mm.kf_pose)
+                meas_src = jax.vmap(lie.sim3_from_se3)(poses_pre)
+                meas = jax.vmap(lambda a_, b_: lie.sim3_mul(
+                    meas_src[a_], lie.sim3_inv(meas_src[b_])))(ei, ej)
+                # nodes the welding BA corrected are the CorrectedSim3 side:
+                # held fixed, their correction distributes through the graph
+                moved = jnp.any(mm.kf_pose != poses_pre, axis=1)
+                fixed = (moved | ~mm.kf_valid).at[0].set(True)
+                fixed = fixed.at[spliced_slot].set(True)
+                new_poses, _ = pg_mod.optimize_pose_graph(
+                    poses_s, fixed, ei, ej, meas, emask,
+                    iters=pose_graph_iters)
+                pts = pg_mod.correct_points(mm.pt_pos, mm.pt_ref_kf,
+                                            mm.pt_valid, poses_s, new_poses)
+                return mm._replace(
+                    kf_pose=jnp.where(mm.kf_valid[:, None],
+                                      pg_mod.se3_from_sim3_poses(new_poses),
+                                      mm.kf_pose),
+                    pt_pos=pts,
+                )
+
+            m1 = jax.lax.cond(spliced_any, _pg, lambda mm: mm, m1)
+
         st1 = MeshProtocolState(db_bow=db.bow, db_valid=db.valid,
                                 merged=merged_row, last_seen=last_seen,
-                                S_peer=S_peer, S_ok=S_ok)
+                                S_peer=S_peer, S_ok=S_ok,
+                                round=st1.round + 1, dropped=dropped)
         return (jax.tree.map(lambda x: x[None], m1),
                 jax.tree.map(lambda x: x[None], st1), M)
 

@@ -26,6 +26,25 @@ class TestHamming:
         np.testing.assert_array_equal(idx, np.arange(5))
         assert int(best[0]) == 10
 
+    def test_ratio_tie_semantics(self, rng):
+        """A duplicated target descriptor (exact tie) is rejected by the
+        strict ratio test but accepted with tie_ok=True — the case where the
+        target set holds two copies of the same map point (post-splice maps
+        in the mesh protocol's periodic Sim3 re-verification)."""
+        a = (rng.rand(3, 256) > 0.5).astype(np.uint8)
+        b = np.concatenate([a, a[:1]], axis=0)  # b[3] duplicates b[0]
+        d = matching.hamming_matrix(jnp.asarray(a), jnp.asarray(b))
+        mask = jnp.ones((3, 4), bool)
+        _, _, ok_strict = matching.masked_best_match(
+            d, mask, matching.TH_LOW, ratio=0.9)
+        assert not bool(ok_strict[0])          # tie kills the strict ratio
+        idx, _, ok_tie = matching.masked_best_match(
+            d, mask, matching.TH_LOW, ratio=0.9, tie_ok=True)
+        assert bool(ok_tie[0]) and int(idx[0]) in (0, 3)
+        # rows 1,2 are unique: identical verdict under both modes
+        np.testing.assert_array_equal(np.asarray(ok_strict[1:]),
+                                      np.asarray(ok_tie[1:]))
+
     def test_mutual_filter(self):
         idx_ab = jnp.array([1, 0, 2])
         idx_ba = jnp.array([1, 0, 0])  # col2 prefers row 0 -> row2 dropped

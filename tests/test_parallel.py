@@ -383,6 +383,132 @@ class TestSim3OnMesh:
                            own_slots, own_seqs, keys)
         assert np.array_equal(np.asarray(maps2.n_kf), n_after)
 
+    def test_sim3_refresh_tracks_scale_drift(self, mesh4):
+        """The per-peer Sim3 is RE-verified every `refresh_every` rounds
+        (the host path's 5 s scale-alignment timer role): when a peer's
+        frame drifts in scale between rounds, the refreshed S_peer tracks
+        the new scale instead of staying latched at the first weld
+        (round-3 verdict: `S_ok` latched forever)."""
+        from dvm_slam_tpu.loopclosing import merge as merge_mod
+
+        rng = np.random.RandomState(6)
+        A = 4
+        fc = FrontendConfig(height=96, width=128, n_features=64, n_levels=2)
+        cfg = trk.TrackerConfig(frontend=fc, kf_cap=16, pt_cap=256, fps=10.0)
+        voc = _voc(rng)
+        pts = (rng.randn(60, 3) * 1.5 + [0, 0, 8]).astype(np.float32)
+        descs = (rng.rand(60, 256) > 0.5).astype(np.uint8)
+        maps, Ks = [], []
+        for a in range(A):
+            m, K = _agent_map(rng, pts, descs, F=fc.capacity)
+            maps.append(m)
+            Ks.append(K)
+        # agent 1 lives in a scaled frame: X_B = S1(X_W), scale 1.3
+        s1 = 1.3
+        S1 = jnp.asarray([1, 0, 0, 0, 0, 0, 0, s1], jnp.float32)
+        maps[1] = merge_mod.transform_map(maps[1], S1)
+
+        step = multi_agent.build_protocol_step(
+            mesh4, cfg, voc, window=1, refresh_every=2,
+            proj_min_matches=25, sim3_min_inliers=12)
+        stacked = multi_agent.stack_agents(maps)
+        lv, idf = voc.device_arrays()
+        sts = []
+        for a in range(A):
+            st = multi_agent.create_protocol_state(16, voc.n_words, A)
+            bow0 = vocabulary.bow_vector(
+                lv, idf, maps[a].kf_desc[0], maps[a].kf_feat_valid[0],
+                voc.branch, voc.n_words)
+            st = st._replace(db_bow=st.db_bow.at[0].set(bow0),
+                             db_valid=st.db_valid.at[0].set(True))
+            sts.append(st)
+        states = multi_agent.stack_agents(sts)
+        Kb = jnp.asarray(np.stack(Ks))
+        keys = jnp.asarray(rng.randint(0, 2 ** 31, (A, 2)), jnp.uint32)
+
+        # round 1 (st.round=0): initial weld — S_peer[0,1] scale ~ 1/1.3
+        maps_out, states_out, M = step(
+            stacked, states, Kb,
+            jnp.ones((A, 1), jnp.int32), jnp.zeros((A, 1), jnp.int32), keys)
+        s_before = float(np.asarray(states_out.S_peer)[0, 1, 7])
+        assert abs(s_before - 1.0 / s1) < 0.05, s_before
+
+        # agent 1's frame drifts by a further 1.15x between rounds
+        sd = 1.15
+        Sd = jnp.asarray([1, 0, 0, 0, 0, 0, 0, sd], jnp.float32)
+        m1_drift = merge_mod.transform_map(
+            jax.tree.map(lambda x: x[1], maps_out), Sd)
+        maps_out = jax.tree.map(
+            lambda full, one: full.at[1].set(one), maps_out, m1_drift)
+
+        # round 2 (st.round=1): refresh round — the refit must track it
+        maps2, states2, _ = step(
+            maps_out, states_out, Kb,
+            jnp.ones((A, 1), jnp.int32), jnp.ones((A, 1), jnp.int32), keys)
+        s_after = float(np.asarray(states2.S_peer)[0, 1, 7])
+        assert abs(s_after - 1.0 / (s1 * sd)) < 0.05, (
+            f"refresh did not track drift: {s_before} -> {s_after}, "
+            f"expected ~{1.0 / (s1 * sd):.3f}")
+
+    def test_backlog_overflow_counted(self, mesh4):
+        """Backlog gaps larger than the re-offer window are not silent:
+        `state.dropped` counts the keyframes that can never splice
+        (round-3 verdict: silent window drop)."""
+        rng = np.random.RandomState(7)
+        A = 4
+        fc = FrontendConfig(height=96, width=128, n_features=64, n_levels=2)
+        cfg = trk.TrackerConfig(frontend=fc, kf_cap=16, pt_cap=256, fps=10.0)
+        voc = _voc(rng)
+        pts = (rng.randn(60, 3) * 1.5 + [0, 0, 8]).astype(np.float32)
+        descs = (rng.rand(60, 256) > 0.5).astype(np.uint8)
+        maps, Ks = [], []
+        for a in range(A):
+            m, K = _agent_map(rng, pts, descs, F=fc.capacity)
+            maps.append(m)
+            Ks.append(K)
+        step = multi_agent.build_protocol_step(
+            mesh4, cfg, voc, fuse_after=False, window=1,
+            refresh_every=1000,
+            proj_min_matches=25, sim3_min_inliers=12)
+        stacked = multi_agent.stack_agents(maps)
+        lv, idf = voc.device_arrays()
+        sts = []
+        for a in range(A):
+            st = multi_agent.create_protocol_state(16, voc.n_words, A)
+            bow0 = vocabulary.bow_vector(
+                lv, idf, maps[a].kf_desc[0], maps[a].kf_feat_valid[0],
+                voc.branch, voc.n_words)
+            st = st._replace(db_bow=st.db_bow.at[0].set(bow0),
+                             db_valid=st.db_valid.at[0].set(True))
+            sts.append(st)
+        states = multi_agent.stack_agents(sts)
+        Kb = jnp.asarray(np.stack(Ks))
+        keys = jnp.asarray(rng.randint(0, 2 ** 31, (A, 2)), jnp.uint32)
+
+        # round 1: seq 0 splices everywhere, no gap
+        maps_out, states_out, _ = step(
+            stacked, states, Kb,
+            jnp.ones((A, 1), jnp.int32), jnp.zeros((A, 1), jnp.int32), keys)
+        assert int(np.asarray(states_out.dropped).sum()) == 0
+        n1 = np.asarray(maps_out.n_kf).copy()
+
+        # round 2: each agent's newest own keyframe jumps to seq 5 — seqs
+        # 1-4 slid past the window and are permanently lost
+        maps2, states2, _ = step(
+            maps_out, states_out, Kb,
+            jnp.ones((A, 1), jnp.int32),
+            jnp.full((A, 1), 5, jnp.int32), keys)
+        dropped = np.asarray(states2.dropped)
+        for a in range(A):
+            for b in range(A):
+                expect = 4 if a != b else 0
+                assert dropped[a, b] == expect, (
+                    f"dropped[{a},{b}]={dropped[a, b]}, expected {expect}")
+        # the fresh (seq-5) keyframes still spliced
+        n2 = np.asarray(maps2.n_kf)
+        for a in range(A):
+            assert n2[a] == n1[a] + A - 1
+
 
 @pytest.mark.slow
 class TestEightAgentStress:
