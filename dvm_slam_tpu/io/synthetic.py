@@ -168,6 +168,29 @@ def smooth_trajectory(n_frames: int, lateral=2.5, forward=1.0, yaw=0.15,
     return poses
 
 
+def circuit_trajectory(n_frames: int, radius=2.2, forward=0.0, yaw_amp=0.25,
+                       loops=1.0, z_amp=0.08):
+    """Loop-closing circuit (list of world->camera SE3 [7] numpy): the
+    camera center travels `loops` times around an x-y circle of `radius`
+    while facing the background plane (+z), with mild sinusoidal yaw and
+    height variation for parallax. After one loop the view RETURNS to the
+    start — the long-trajectory revisit benchmark the reference evaluates
+    on EuRoC MH sequences (BASELINE.md: 7.4 cm over 50 m)."""
+    poses = []
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1) * loops
+        ang = 2 * np.pi * s
+        cx = radius * np.sin(ang)
+        cy = radius * 0.55 * (np.cos(ang) - 1.0)
+        cz = forward * s + z_amp * np.sin(4 * np.pi * s)
+        yaw_i = yaw_amp * np.sin(ang)
+        q = np.asarray(lie.so3_exp(jnp.array([0.0, yaw_i, 0.0], jnp.float32)))
+        c = np.array([cx, cy, cz], np.float32)
+        T_wc = np.concatenate([q, c]).astype(np.float32)
+        poses.append(np.asarray(lie.se3_inv(jnp.asarray(T_wc))))
+    return poses
+
+
 def vi_trajectory(n_frames: int, fps: float = 10.0, imu_rate: float = 100.0,
                   lateral=2.0, forward=0.5, yaw=0.08, z_amp=0.1,
                   g=(0.0, 0.0, -9.81)):

@@ -85,13 +85,20 @@ class SlamAgent:
                  post_merge_pose_graph: bool = True,
                  post_merge_global_ba: bool = True,
                  autonomous: bool = True, auto_batch: int = 4,
-                 async_depth: int = 8):
+                 async_depth: int = 8,
+                 loop_correction: bool = False):
         # post-merge optimization stages of `LoopClosing::MergeLocal` —
         # default ON to match the reference, which always runs the welding
         # BA *plus* essential-graph optimization *plus* a GBA thread on
         # every merge (`LoopClosing.cc:1657,1747,1796`)
         self.post_merge_pose_graph = post_merge_pose_graph
         self.post_merge_global_ba = post_merge_global_ba
+        # intra-map loop CORRECTION is disabled upstream (`LoopClosing.cc:
+        # 328-339` comments out CorrectLoop(); triggers are only recorded) —
+        # default False for parity. True applies the opt-in Sim3 essential-
+        # graph correction on a confirmed trigger; benchmarks/long_ate.py
+        # measures what the disabled path costs (VERDICT r3 item 7).
+        self.loop_correction = loop_correction
         self.agent_id = agent_id
         self.config = config
         self.voc = voc
@@ -330,6 +337,27 @@ class SlamAgent:
                         rows_np[j], self.meta, slot)
                     if found:
                         self.log.append(("loop_trigger", slot, info["match"]))
+                        if self.loop_correction:
+                            self._apply_loop_correction(slot, info)
+
+    def _apply_loop_correction(self, slot: int, info):
+        """Opt-in intra-map loop correction (`CorrectLoop` role, disabled
+        upstream): Sim3 essential-graph optimization anchored at the matched
+        (older) keyframe, then the tracker continuation follows the moved
+        query keyframe."""
+        self._abort_gba("loop_correction")
+        self.tracker.exit_autonomous()
+        self.tracker.flush_meta()
+        old_kf_pose = self.map.kf_pose[slot]
+        corrected = self.loop_detector.correct_loop(
+            self.map, slot, int(info["match"]), jnp.asarray(info["S"]))
+        corr = lie.se3_mul(lie.se3_inv(old_kf_pose), corrected.kf_pose[slot])
+        self.tracker.map = corrected
+        self.tracker.last_pose = lie.se3_mul(
+            jnp.asarray(self.tracker.last_pose), corr)
+        self.tracker.velocity = lie.se3_identity()
+        self.tracker.map_epoch += 1
+        self.log.append(("loop_corrected", slot, int(info["match"])))
 
     def _slot_of_kf_uuid(self, uuid_pair):
         n = int(self.map.n_kf)

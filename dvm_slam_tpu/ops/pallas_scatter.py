@@ -143,8 +143,16 @@ def onehot_gather_pallas(pts_pl, pidx, interpret: bool = False):
 
 
 def onehot_gather(pts_pl, pidx):
-    """Platform dispatch: Pallas on TPU, plain XLA gather elsewhere."""
-    if jax.default_backend() == "tpu":
+    """Shape-aware dispatch. At the production BA shape (G=3 planes,
+    L=20 x F=512 from a [3,4096] table, batch 8 under vmap) the Pallas
+    kernel is LATENCY-bound — 8x20x8 = 1280 grid cells of ~3-row matmuls —
+    and the honest microbenchmark (benchmarks/ba_stage_profile2.py, full
+    output consumed, TPU v5e) measured 12.5 ms vs 5.6 ms for XLA's row
+    gather over 11 iterations x batch 8. The one-hot MXU formulation only
+    pays off once G fills MXU rows; until a call site has G >= 64 the row
+    gather is the fast path everywhere."""
+    G = pts_pl.shape[0]
+    if jax.default_backend() == "tpu" and G >= 64:
         return onehot_gather_pallas(pts_pl, pidx)
     safe = jnp.clip(pidx, 0)
     g = jnp.moveaxis(pts_pl[:, safe], 0, 1)                    # [L,G,F]
@@ -168,7 +176,16 @@ def onehot_adjoint_xla(vals, pidx, n_cols: int, dot_dtype: str = "float32"):
 
 
 def onehot_adjoint(vals, pidx, n_cols: int, dot_dtype: str = "float32"):
-    """Platform dispatch: Pallas on TPU, XLA elsewhere."""
-    if jax.default_backend() == "tpu":
+    """Shape-aware dispatch. At the production BA shape (G=30 value planes,
+    L=20, F=512, P=4096, batch 8 under vmap) the Pallas kernel's grid is
+    1280 cells of 30-row matmuls — latency-bound at ~23% MXU row
+    utilization; the honest microbenchmark (benchmarks/ba_stage_profile2.py,
+    full output consumed, TPU v5e) measured 11.7 ms vs 7.6 ms for the XLA
+    dense-one-hot dot over 11 iterations x batch 8 (XLA fuses the iota
+    compare into the contraction operand; the [L,F,P] one-hot is transient).
+    The VMEM-tile kernel wins once G fills MXU rows — kept for G >= 128 and
+    as the verified-equivalence oracle (bench.py pallas_verified)."""
+    G = vals.shape[1]
+    if jax.default_backend() == "tpu" and G >= 128:
         return onehot_adjoint_pallas(vals, pidx, n_cols, dot_dtype=dot_dtype)
     return onehot_adjoint_xla(vals, pidx, n_cols, dot_dtype=dot_dtype)

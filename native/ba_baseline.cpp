@@ -79,8 +79,18 @@ static void rodrigues(const double* w, double* R) {
 }
 
 int main(int argc, char** argv) {
-  if (argc < 2) { fprintf(stderr, "usage: %s problem.bin [iters]\n", argv[0]); return 1; }
+  if (argc < 2) { fprintf(stderr, "usage: %s problem.bin [iters] [stage2] [reps]\n", argv[0]); return 1; }
   int iters = argc > 2 ? atoi(argv[2]) : 6;
+  // stage2 > 0 appends the reference two-stage scheme (`Optimizer.cc:1030`
+  // tail, same as the TPU solve's `stage2_iters`): after `iters` LM steps,
+  // edges with chi2 > 5.991 at the current estimate are dropped and the
+  // solve continues for `stage2` more iterations on the inlier set.
+  int stage2 = argc > 3 ? atoi(argv[3]) : 0;
+  // reps > 1 times a BATCH of identical-size solves back to back and prints
+  // the per-solve mean — the symmetric-accounting counterpart of the TPU's
+  // batched dispatch (on this 1-core host the CPU has no batch resource to
+  // amortize over, which is exactly what the comparison should show)
+  int reps = argc > 4 ? atoi(argv[4]) : 1;
   FILE* fp = fopen(argv[1], "rb");
   if (!fp) { perror("open"); return 1; }
   int32_t L, F, P;
@@ -126,8 +136,13 @@ int main(int argc, char** argv) {
   const double huber = std::sqrt(5.991), lam = 1e-4;
   const double fx = Kc[0], fy = Kc[1], cx = Kc[2], cy = Kc[3];
 
+  std::vector<double> R_init(R), t_init(t), x_init(x);
+  std::vector<char> active(O, 1);
   auto t0 = std::chrono::steady_clock::now();
-  for (int it = 0; it < iters; ++it) {
+  for (int rep = 0; rep < reps; ++rep) {
+  R = R_init; t = t_init; x = x_init;
+  std::fill(active.begin(), active.end(), 1);
+  for (int it = 0; it < iters + stage2; ++it) {
     std::fill(Hcc.begin(), Hcc.end(), 0.0); std::fill(bc.begin(), bc.end(), 0.0);
     std::fill(Hpp.begin(), Hpp.end(), 0.0); std::fill(bp.begin(), bp.end(), 0.0);
     std::fill(S.begin(), S.end(), 0.0);
@@ -143,7 +158,11 @@ int main(int argc, char** argv) {
       double ru = e.u - (fx * pc[0] * iz + cx);
       double rvv = e.v - (fy * pc[1] * iz + cy);
       double chi = ru * ru + rvv * rvv;
+      // stage boundary: drop outlier edges by chi2 at the current estimate,
+      // keep optimizing (identical semantics to the TPU scan's stage2_mask)
+      if (it == iters) active[o] = (chi <= 5.991 && pc[2] > 0) ? 1 : 0;
       double w = pc[2] > 0 ? std::fmin(1.0, huber / std::sqrt(chi > 1e-12 ? chi : 1e-12)) : 0.0;
+      if (it >= iters) w *= active[o];
       wob[o] = w;
       double a00 = fx * iz, a02 = -fx * pc[0] * iz * iz;
       double a11 = fy * iz, a12 = -fy * pc[1] * iz * iz;
@@ -273,6 +292,7 @@ int main(int argc, char** argv) {
       memcpy(&R[l * 9], Rn, sizeof(Rn));
     }
   }
+  }
   auto t1 = std::chrono::steady_clock::now();
   // final chi2 (sanity, stderr)
   double chi2 = 0;
@@ -290,6 +310,6 @@ int main(int argc, char** argv) {
   }
   fprintf(stderr, "O=%d chi2=%.3f\n", O, chi2);
   printf("%.3f\n",
-         std::chrono::duration_cast<std::chrono::microseconds>(t1 - t0).count() / 1000.0);
+         std::chrono::duration_cast<std::chrono::microseconds>(t1 - t0).count() / 1000.0 / reps);
   return 0;
 }
