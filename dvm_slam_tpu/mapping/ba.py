@@ -229,16 +229,47 @@ def bundle_adjust(
         w_base = info * jnp.minimum(1.0, delta_h / rn) * (z > 0)
         return ru, rv, rw, z, Ju, Jv, Jw, Pu, Pv, Pw, chi2, w_base
 
+    def robust_cost(chi2, active):
+        # Huber rho on the whitened squared residual (g2o's robustChi2):
+        # rho(s) = s for sqrt(s) <= delta, else 2*delta*sqrt(s) - delta^2.
+        rn = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+        rho = jnp.where(rn <= delta_h, chi2, 2.0 * delta_h * rn - delta_h * delta_h)
+        return jnp.sum(rho * active)
+
     def gn_step(carry, k):
-        poses, points_pl, active = carry
+        poses, points_pl, active, best_poses, best_points, best_cost, lam, \
+            stage_done = carry
         ru, rv, rw, z, Ju, Jv, Jw, Pu, Pv, Pw, chi2, w_base = compute_system(
             poses, points_pl)
+        # ---- LM step acceptance (g2o semantics, deferred by one iteration).
+        # Pure GN with fixed damping accepts divergent steps: on a
+        # near-degenerate window ONE exploding solve scales the cameras ~x9,
+        # every edge then fails the stage-2 chi2 cut, weights go to zero and
+        # all later BAs are exact no-ops — the map is permanently poisoned
+        # (measured on the monocular circuit bench). Instead: evaluate the
+        # robust cost of the CURRENT state; if it is worse than the best
+        # accepted state, revert to the best, raise lambda and retry; else
+        # accept and decay lambda. The evaluation reuses the residual pass
+        # every iteration computes anyway, so rejection costs one wasted
+        # solve, never an extra residual pass.
+        cost_cur = robust_cost(chi2, active)
+        reject = cost_cur > best_cost
         # stage boundary (reference's two-stage scheme, `Optimizer.cc:1030`
-        # tail): at step `iters` drop outlier edges by chi2 at the current
-        # estimate, then keep optimizing — folded into ONE scan instead of
-        # two scans with a full residual pass in between
+        # tail): once past `iters` steps and on an ACCEPTED state, drop
+        # outlier edges by chi2 at the current estimate, then keep optimizing
+        # — folded into ONE scan instead of two scans with a full residual
+        # pass in between
         stage2_mask = (obs_valid & (chi2 <= chi2_th) & (z > 0)).astype(dtype)
-        active = jnp.where(k == iters, stage2_mask, active)
+        do_stage = (~reject) & (k >= iters) & (~stage_done)
+        active = jnp.where(do_stage, stage2_mask, active)
+        stage_done = stage_done | do_stage
+        # cost under the (possibly narrowed) mask — masking only removes
+        # non-negative terms, so the comparison stays monotone
+        cost_eff = jnp.where(do_stage, robust_cost(chi2, active), cost_cur)
+        best_cost = jnp.where(reject, best_cost, cost_eff)
+        best_poses = jnp.where(reject, best_poses, poses)
+        best_points = jnp.where(reject, best_points, points_pl)
+        lam = jnp.clip(jnp.where(reject, lam * 4.0, lam * 0.5), 1e-7, 1e3)
         w = w_base * active
 
         # gate fixed cameras / constant points
@@ -292,7 +323,7 @@ def bundle_adjust(
 
         # damp + closed-form invert point blocks (VPU, lane-parallel)
         trp = HppP[0, 0] + HppP[1, 1] + HppP[2, 2]             # [P]
-        lam_p = damping * (1.0 + trp / 3.0)
+        lam_p = lam * (1.0 + trp / 3.0)
         eyeP = eye3[:, :, None]
         Hpp_d = HppP + lam_p[None, None] * eyeP
         empty = trp < 1e-12
@@ -316,7 +347,7 @@ def bundle_adjust(
         ii = jnp.arange(L)
         S = -S_off
         S = S.at[ii, :, ii, :].add(Hcc)
-        lam_c = damping * (1.0 + jnp.einsum("lii->l", Hcc) / 6.0)
+        lam_c = lam * (1.0 + jnp.einsum("lii->l", Hcc) / 6.0)
         eye6 = jnp.eye(6, dtype=dtype)
         S = S.at[ii, :, ii, :].add(lam_c[:, None, None] * eye6)
         # fixed cameras: identity rows keep S well-posed
@@ -341,17 +372,27 @@ def bundle_adjust(
         dpP = jnp.sum(Hpi * rhs_p[None], axis=1)               # [3,P]
         dpP = jnp.where(jnp.isfinite(dpP), dpP, 0.0) * pt_opt[None, :]
 
-        new_poses = jax.vmap(lie.se3_retract)(poses, dc)
-        return ((new_poses, points_pl + dpP, active),
+        # on reject: revert to the best state and take no step (the solve at
+        # the rejected state is discarded; next iteration recomputes there)
+        new_poses = jnp.where(reject, best_poses,
+                              jax.vmap(lie.se3_retract)(poses, dc))
+        new_points = jnp.where(reject, best_points, points_pl + dpP)
+        return ((new_poses, new_points, active, best_poses, best_points,
+                 best_cost, lam, stage_done),
                 jnp.sum(jnp.where(obs_valid, chi2, 0.0)))
 
     active0 = obs_valid.astype(dtype)
-    steps = jnp.arange(iters + stage2_iters, dtype=jnp.int32)
-    (poses, points_pl, _), _ = jax.lax.scan(
-        gn_step, (kf_pose, pts.T, active0), steps
+    points0 = pts.T
+    # +1 step so the last real step is itself cost-evaluated; the returned
+    # state is the best ACCEPTED one, so a divergent final step cannot leak
+    steps = jnp.arange(iters + stage2_iters + 1, dtype=jnp.int32)
+    carry0 = (kf_pose, points0, active0, kf_pose, points0,
+              jnp.asarray(jnp.inf, dtype), jnp.asarray(damping, dtype),
+              jnp.asarray(False))
+    (_, _, _, poses, points_pl, _, _, _), _ = jax.lax.scan(
+        gn_step, carry0, steps
     )
     # final residual pass for the returned chi2/inlier classification
-    # (the scan's last output is chi2 BEFORE the last step)
     sys_fin = compute_system(poses, points_pl)
     z, chi2 = sys_fin[3], sys_fin[10]
     inliers = obs_valid & (chi2 <= chi2_th) & (z > 0)
@@ -451,10 +492,25 @@ def bundle_adjust_pcg(
                            our - (K[0] * x * inv_z + K[2] - bf * inv_z), 0.0)
         return ru, rv, rw, x, y, z, inv_z
 
+    def robust_cost(chi2, active):
+        rn = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+        rho = jnp.where(rn <= delta_h, chi2,
+                        2.0 * delta_h * rn - delta_h * delta_h)
+        return jnp.sum(rho * active)
+
     def lm_step(carry, _):
-        poses, points, active = carry
+        # LM with deferred step acceptance (see bundle_adjust.gn_step): a
+        # cost-increasing step is reverted on the next iteration and lambda
+        # raised; the best accepted state is what the scan returns.
+        poses, points, active, best_poses, best_points, best_cost, lam = carry
         ru, rv, rw, x, y, z, inv_z = residuals(poses, points)
         chi2 = (ru * ru + rv * rv + rw * rw) * oinfo
+        cost_cur = robust_cost(chi2, active)
+        reject = cost_cur > best_cost
+        best_cost = jnp.where(reject, best_cost, cost_cur)
+        best_poses = jnp.where(reject, best_poses, poses)
+        best_points = jnp.where(reject, best_points, points)
+        lam = jnp.clip(jnp.where(reject, lam * 4.0, lam * 0.5), 1e-7, 1e3)
         rn = jnp.sqrt(jnp.maximum(chi2, 1e-12))
         w = oinfo * active * jnp.minimum(1.0, delta_h / rn) * (z > 0)
 
@@ -507,7 +563,7 @@ def bundle_adjust_pcg(
             bpv * ovalid0[:, None])
 
         trp = jnp.einsum("pii->p", Hpp)
-        lam_p = damping * (1.0 + trp / 3.0)
+        lam_p = lam * (1.0 + trp / 3.0)
         Hpp_d = Hpp + lam_p[:, None, None] * eye3
         empty = trp < 1e-12
         Hpp_inv = jnp.where(
@@ -515,7 +571,7 @@ def bundle_adjust_pcg(
         )
 
         trc = jnp.einsum("lii->l", Hcc)
-        lam_c = damping * (1.0 + trc / 6.0)
+        lam_c = lam * (1.0 + trc / 6.0)
         Hcc_d = Hcc + lam_c[:, None, None] * eye6
         Hcc_d = jnp.where(kf_fixed[:, None, None], eye6, Hcc_d)
 
@@ -601,21 +657,29 @@ def bundle_adjust_pcg(
             dp = jnp.einsum("pij,pj->pi", Hpp_inv, -(bp + WT_x(dc)))
         dp = jnp.where(jnp.isfinite(dp), dp, 0.0) * pt_opt[:, None]
 
-        new_poses = jax.vmap(lie.se3_retract)(poses, dc)
-        new_points = points + dp
-        return (new_poses, new_points, active), jnp.sum(jnp.where(ovalid0, chi2, 0.0))
+        new_poses = jnp.where(reject, best_poses,
+                              jax.vmap(lie.se3_retract)(poses, dc))
+        new_points = jnp.where(reject, best_points, points + dp)
+        return ((new_poses, new_points, active, best_poses, best_points,
+                 best_cost, lam),
+                jnp.sum(jnp.where(ovalid0, chi2, 0.0)))
+
+    def run_stage(poses, points, active, n):
+        # n+1 steps so the last real step is itself evaluated; return the
+        # best ACCEPTED state, never an unevaluated final step
+        carry0 = (poses, points, active, poses, points,
+                  jnp.asarray(jnp.inf, dtype), jnp.asarray(damping, dtype))
+        (_, _, _, bp, bx, _, _), _ = jax.lax.scan(
+            lm_step, carry0, None, length=n + 1)
+        return bp, bx
 
     active0 = ovalid0.astype(dtype)
-    (poses, points, _), _ = jax.lax.scan(
-        lm_step, (kf_pose, pts, active0), None, length=lm_iters
-    )
+    poses, points = run_stage(kf_pose, pts, active0, lm_iters)
     # stage 2: drop outlier edges, re-optimize (reference two-stage scheme)
     ru, rv, rw, _, _, z, _ = residuals(poses, points)
     chi2 = (ru * ru + rv * rv + rw * rw) * oinfo
     stage2 = ovalid0 & (chi2 <= chi2_th) & (z > 0)
-    (poses, points, _), _ = jax.lax.scan(
-        lm_step, (poses, points, stage2.astype(dtype)), None, length=stage2_iters
-    )
+    poses, points = run_stage(poses, points, stage2.astype(dtype), stage2_iters)
     ru, rv, rw, _, _, z, _ = residuals(poses, points)
     chi2 = (ru * ru + rv * rv + rw * rw) * oinfo
     inliers = ovalid0 & (chi2 <= chi2_th) & (z > 0)

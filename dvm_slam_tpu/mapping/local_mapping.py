@@ -357,6 +357,30 @@ def local_ba(m: map_state.MapState, center, K,
     fixed = jnp.concatenate([jnp.zeros((n_local,), bool), jnp.ones((n_fixed,), bool)])
     fixed = fixed | (rows == 0)  # keyframe 0 is the gauge anchor
     fixed = fixed | ~rmask
+    # Gauge completeness. A MONOCULAR window needs the full Sim(3) gauge
+    # pinned: one fixed camera kills the 6 SE(3) DOF but leaves the 7th —
+    # scaling every point and camera centre about the anchor's centre is an
+    # EXACT null direction of the reprojection cost. The reference gets away
+    # with one anchor because g2o's float64 LM has a numerically zero
+    # gradient along the null space (`Optimizer.cc:1030` fixes only
+    # out-of-window observers + nothing else early on); our bf16-adjoint
+    # Schur-PCG does not — the null-space noise component makes each BA a
+    # random scale step and the map ratchets (measured: median scene depth
+    # x2.3 in ONE early-map BA where the covisibility window held every
+    # keyframe, i.e. zero external anchors). Pin at least TWO cameras —
+    # the two oldest valid rows (most-settled poses) — whenever the window
+    # brought fewer than two of its own. Depth-sensor maps (bf) are pinned
+    # by the disparity residuals and keep reference semantics, but still
+    # need ONE anchor even when keyframe 0 is not in the window.
+    ids = jnp.where(rmask, rows, jnp.int32(2 ** 30))
+    oldest = jnp.min(ids)
+    second = jnp.min(jnp.where(ids == oldest, jnp.int32(2 ** 30), ids))
+    n_anchor = jnp.sum(fixed & rmask)
+    if bf is None:
+        need = n_anchor < 2
+        fixed = fixed | (need & ((rows == oldest) | (rows == second)) & rmask)
+    else:
+        fixed = fixed | ((n_anchor == 0) & (rows == oldest) & rmask)
 
     rowc = jnp.clip(rows, 0)
     obs_pt_g = jnp.where(rmask[:, None], m.kf_obs[rowc], -1)  # global slots
@@ -468,6 +492,12 @@ def global_ba(m: map_state.MapState, K,
     rows = jnp.arange(n_kf_max, dtype=jnp.int32)
     rmask = m.kf_valid[:n_kf_max]
     fixed = (rows == 0) | ~rmask
+    if bf is None:
+        # monocular full-map solve: one anchor leaves the Sim(3) scale
+        # gauge free (see local_ba) — pin the second-oldest valid keyframe
+        # too so the PCG solve cannot walk the whole map's scale
+        ids = jnp.where(rmask & (rows != 0), rows, jnp.int32(2 ** 30))
+        fixed = fixed | (rows == jnp.min(ids))
 
     if n_pts >= P:
         # full point table: observation rows index pt_pos directly
