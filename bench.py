@@ -275,6 +275,13 @@ def main():
     if n_ate > 0:
         from dvm_slam_tpu.eval import metrics as _metrics
 
+        # DENSE multi-depth world: the accuracy configuration the PlaneWorld
+        # docstring prescribes (io/synthetic.py). The default sparse 8-patch
+        # layout is a monocular-scale degeneracy stressor, not an accuracy
+        # scene — benchmarks/long_ate.py keeps one sparse row labeled as such.
+        world_ate = synthetic.PlaneWorld(
+            seed=7, tex_size=2048, plane_z=6.0, extent=36.0,
+            n_patches=36, depth_range=(0.30, 0.92), patch_half=(0.03, 0.09))
         circuit = synthetic.circuit_trajectory(n_ate, loops=1.0)
         t_ate = trk.MonocularTracker(
             cfg, K, np.zeros(4, np.float32),
@@ -286,7 +293,7 @@ def main():
         t_ate.async_depth = int(os.environ.get("BENCH_ASYNC_DEPTH", 8))
         t0 = time.perf_counter()
         for i, p in enumerate(circuit):
-            img_d = jnp.clip(world.render(jnp.asarray(p), Kj, H, W),
+            img_d = jnp.clip(world_ate.render(jnp.asarray(p), Kj, H, W),
                              0, 255).astype(jnp.uint8)
             t_ate.process_image(img_d, i * 0.05)
         t_ate.drain_auto()

@@ -171,16 +171,28 @@ def main():
     cfg = trk.TrackerConfig(frontend=fc, kf_cap=256, pt_cap=16384, fps=20.0)
     mapper_kw = dict(n_neighbors=5, ba_local=12, ba_fixed=8,
                      ba_pts=4096, ba_iters=6)
+    # DENSE multi-depth world for all accuracy rows — the configuration the
+    # PlaneWorld docstring prescribes for accuracy benchmarks. The default
+    # sparse 8-patch layout collapses monocular scale by construction
+    # (rotation-for-translation substitution) and is kept below ONLY as an
+    # explicitly labeled degeneracy stressor.
     world = synthetic.PlaneWorld(seed=7, tex_size=2048, plane_z=6.0,
-                                 extent=36.0)
+                                 extent=36.0, n_patches=36,
+                                 depth_range=(0.30, 0.92),
+                                 patch_half=(0.03, 0.09))
+    world_sparse = synthetic.PlaneWorld(seed=7, tex_size=2048, plane_z=6.0,
+                                        extent=36.0)
     Kj = jnp.asarray(K)
 
-    def render(p):
-        # stays on device: render -> clip -> uint8 (the tracker casts back
-        # to f32 inside the jitted front end)
-        img = world.render(jnp.asarray(p), Kj, H, W)
-        return jnp.clip(img, 0, 255).astype(jnp.uint8)
+    def mk_render(w):
+        def render(p):
+            # stays on device: render -> clip -> uint8 (the tracker casts
+            # back to f32 inside the jitted front end)
+            img = w.render(jnp.asarray(p), Kj, H, W)
+            return jnp.clip(img, 0, 255).astype(jnp.uint8)
+        return render
 
+    render = mk_render(world)
     n = int(os.environ.get("LONG_ATE_FRAMES", "1000"))
     voc = _make_voc()
     run_solo(world, synthetic.circuit_trajectory(n, loops=1.0),
@@ -193,6 +205,14 @@ def main():
                   synthetic.circuit_trajectory(max(n * 3 // 5, 300),
                                                loops=1.0),
                   K, cfg, mapper_kw, render)
+    # degeneracy stressor: the sparse world whose fronto-parallel views admit
+    # the yaw-for-translation monocular collapse; a large ATE here is the
+    # EXPECTED failure signature, committed so regressions in the scale gauge
+    # show up as this row suddenly improving or the dense rows degrading
+    run_solo(world_sparse,
+             synthetic.circuit_trajectory(min(n, 500), loops=1.0),
+             "sparse_stressor", K, cfg, mapper_kw, mk_render(world_sparse),
+             voc)
     print(json.dumps({"device": str(jax.devices()[0])}), flush=True)
 
 
