@@ -133,9 +133,16 @@ class MeshProtocolState(NamedTuple):
     dropped: jnp.ndarray    # [A] int32 peer keyframes lost to backlog gaps
                             # > window (surfaced, not silent — SURVEY "no
                             # silent caps" discipline)
+    refresh_interval: jnp.ndarray  # [A] int32 AIMD Sim3-refresh cadence in
+                                   # rounds (`orb_slam3_wrapper.cpp:804-812`:
+                                   # converged refit doubles it, drifted
+                                   # refit resets to base)
+    next_refresh: jnp.ndarray      # [A] int32 round at which the per-peer
+                                   # Sim3 refit is next due
 
 
-def create_protocol_state(kf_cap: int, n_words: int, n_agents: int):
+def create_protocol_state(kf_cap: int, n_words: int, n_agents: int,
+                          refresh_base: int = 5):
     return MeshProtocolState(
         db_bow=jnp.zeros((kf_cap, n_words), jnp.float32),
         db_valid=jnp.zeros((kf_cap,), bool),
@@ -147,6 +154,10 @@ def create_protocol_state(kf_cap: int, n_words: int, n_agents: int):
         S_ok=jnp.zeros((n_agents,), bool),
         round=jnp.int32(0),
         dropped=jnp.zeros((n_agents,), jnp.int32),
+        refresh_interval=jnp.full((n_agents,), max(refresh_base, 1),
+                                  jnp.int32),
+        next_refresh=jnp.full((n_agents,), max(refresh_base, 1) - 1,
+                              jnp.int32),
     )
 
 
@@ -184,7 +195,9 @@ def build_protocol_step(mesh: Mesh, config: trk.TrackerConfig,
                         refresh_every: int = 5,
                         weld_ba: bool = True,
                         pose_graph_after: bool = True,
-                        pose_graph_iters: int = 8):
+                        pose_graph_iters: int = 8,
+                        global_ba_after: bool = True,
+                        global_ba_iters: int = 6):
     """One collective protocol round, SPMD over the ("agent",) mesh — the
     on-mesh realization of the reference's per-frame wrapper loop
     (`orb_slam3_wrapper.cpp:131-148` sendNewKeyFrameBows/sendNewKeyFrames):
@@ -215,20 +228,27 @@ def build_protocol_step(mesh: Mesh, config: trk.TrackerConfig,
          240-247`) for gaps up to `window` per round,
       7. optional duplicate fusion around the spliced keyframe
          (`LocalMapping::SearchInNeighbors` role),
-      8. every `refresh_every` rounds the per-peer Sim3 is RE-VERIFIED from
-         the freshest packet (drift/scale re-alignment — the host path's
-         5 s `updateMapScale` timer, `orb_slam3_wrapper.cpp:766-833`): a
-         passing refit replaces S_peer, a failing one keeps the old weld,
+      8. the per-peer Sim3 is RE-VERIFIED from the freshest packet on an
+         AIMD cadence (drift/scale re-alignment — the host path's 5 s
+         `updateMapScale` timer with AIMD backoff, `orb_slam3_wrapper.cpp:
+         766-833,804-812`): `refresh_every` is the base interval in rounds;
+         a refit whose scale matches the standing weld within 1% doubles
+         the interval (cap 32x), a drifted refit resets it to base, a
+         failing one keeps the old weld and the old interval,
       9. backlog gaps larger than `window` are COUNTED per peer in
          `state.dropped` (the keyframes the windowed re-offer can never
          deliver) instead of dropped silently,
      10. when a splice happened this round: windowed welding BA around the
          spliced keyframe (`LoopClosing::MergeLocal` welding BA,
-         `LoopClosing.cc:1657` role) and, with `pose_graph_after`, an
+         `LoopClosing.cc:1657` role); with `pose_graph_after`, an
          essential-graph Sim3 optimization over device-built edges
-         (sequential chain + strongest covisibility neighbor per node) with
-         splice-time poses as the NonCorrectedSim3 measurements
-         (`Optimizer::OptimizeEssentialGraph`, `Optimizer.cc:1389` role).
+         (sequential chain + strongest covisibility neighbor per node —
+         an APPROXIMATION of the reference's full covisibility/loop-edge
+         graph, `Optimizer.cc:1389`, `LoopClosing.cc:1747`) with
+         splice-time poses as the NonCorrectedSim3 measurements; and with
+         `global_ba_after`, a bounded-iteration full-map BA (the detached
+         post-merge GBA, `LoopClosing.cc:1796-1799` role) — all under
+         `lax.cond`, so rounds without a splice pay none of it.
 
     Returns jitted fn:
       (maps [A,...], states [A,...], K [A,4], own_slots [A,window] int32
@@ -320,12 +340,19 @@ def build_protocol_step(mesh: Mesh, config: trk.TrackerConfig,
         S_peer, S_ok = st1.S_peer, st1.S_ok
         # periodic re-verification un-latches the weld: drift between two
         # live maps is re-estimated from fresh correspondences (host path:
-        # the 5 s scale-alignment timer); a failed refit keeps the old S
-        refresh_due = (st1.round % jnp.int32(max(refresh_every, 1))
-                       ) == jnp.int32(max(refresh_every, 1) - 1)
+        # the 5 s scale-alignment timer). The cadence is AIMD per peer
+        # (`orb_slam3_wrapper.cpp:804-812`): a refit whose scale is within
+        # 1% of unity doubles the interval (cap 32x base); a drifted refit
+        # resets it to the base; a failed refit keeps the old S and the old
+        # interval. `refresh_every` is the base interval in rounds.
+        base_iv = jnp.int32(max(refresh_every, 1))
+        cap_iv = jnp.int32(32 * max(refresh_every, 1))
+        refresh_iv = st1.refresh_interval
+        next_refresh = st1.next_refresh
+        refresh_due = st1.round >= st1.next_refresh   # [A]
         for a in range(A):
             wsel = newest_idx[a]
-            need = (merged_row[a] & (~S_ok[a] | refresh_due)
+            need = (merged_row[a] & (~S_ok[a] | refresh_due[a])
                     & (jnp.int32(a) != me))
 
             # the [F,P] Hamming matrix + 200-hypothesis RANSAC is the
@@ -364,6 +391,23 @@ def build_protocol_step(mesh: Mesh, config: trk.TrackerConfig,
             passed = passed & need
             S_peer = S_peer.at[a].set(jnp.where(passed, S, S_peer[a]))
             S_ok = S_ok.at[a].set(S_ok[a] | passed)
+            # AIMD cadence update: only a refresh ATTEMPT (refit while
+            # already welded and due) moves the clock. "Converged" compares
+            # the refit scale against the standing weld's scale — the host
+            # tests |s-1| AFTER applying each alignment to its own map
+            # (`orb_slam3_wrapper.cpp:804`); on mesh the peer frame is never
+            # rebased, so zero new drift shows up as S_new/S_old ~= 1
+            attempted = need & refresh_due[a] & st1.S_ok[a]
+            rel = S[7] / jnp.maximum(st1.S_peer[a, 7], 1e-12)
+            converged = passed & (jnp.abs(rel - 1.0) < 0.01)
+            new_iv = jnp.where(
+                attempted & converged, jnp.minimum(refresh_iv[a] * 2, cap_iv),
+                jnp.where(attempted & passed, base_iv, refresh_iv[a]))
+            refresh_iv = refresh_iv.at[a].set(new_iv)
+            # the timer is free-running (host parity: the 5 s wall timer
+            # starts at t=0, not at merge time) — only an attempt re-arms it
+            next_refresh = next_refresh.at[a].set(
+                jnp.where(attempted, st1.round + new_iv, next_refresh[a]))
 
         last_seen = st1.last_seen
         # backlog-overflow accounting: ids below the oldest entry a peer
@@ -488,10 +532,27 @@ def build_protocol_step(mesh: Mesh, config: trk.TrackerConfig,
 
             m1 = jax.lax.cond(spliced_any, _pg, lambda mm: mm, m1)
 
+        if global_ba_after:
+            # post-merge global BA on mesh (host path: the detached abortable
+            # GBA dispatched after every merge, `agent.py::_pending_gba` <->
+            # `LoopClosing::RunGlobalBundleAdjustment`, `LoopClosing.cc:
+            # 1796-1799`). Bounded iterations under lax.cond: rounds without
+            # a splice pay nothing at run time.
+            def _gba(mm):
+                mg, _chi2 = local_mapping.global_ba(
+                    mm, K1, iters=global_ba_iters,
+                    n_levels=fc.n_levels, scale_factor=fc.scale_factor,
+                )
+                return mg
+
+            m1 = jax.lax.cond(spliced_any, _gba, lambda mm: mm, m1)
+
         st1 = MeshProtocolState(db_bow=db.bow, db_valid=db.valid,
                                 merged=merged_row, last_seen=last_seen,
                                 S_peer=S_peer, S_ok=S_ok,
-                                round=st1.round + 1, dropped=dropped)
+                                round=st1.round + 1, dropped=dropped,
+                                refresh_interval=refresh_iv,
+                                next_refresh=next_refresh)
         return (jax.tree.map(lambda x: x[None], m1),
                 jax.tree.map(lambda x: x[None], st1), M)
 

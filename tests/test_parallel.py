@@ -243,9 +243,14 @@ class TestSim3OnMesh:
             maps.append(m)
             Ks.append(K)
 
+        # post-splice optimization off: this test pins the SPLICE-time frame
+        # mapping; welding BA / pose graph / GBA may legitimately move
+        # points afterwards (single-observation spliced points are only
+        # ray-constrained)
         step = multi_agent.build_protocol_step(
             mesh4, cfg, voc, fuse_after=False, window=1,
-            proj_min_matches=25, sim3_min_inliers=12)
+            proj_min_matches=25, sim3_min_inliers=12,
+            weld_ba=False, pose_graph_after=False, global_ba_after=False)
         stacked = multi_agent.stack_agents(maps)
         lv, idf = voc.device_arrays()
         sts = []
@@ -415,7 +420,8 @@ class TestSim3OnMesh:
         lv, idf = voc.device_arrays()
         sts = []
         for a in range(A):
-            st = multi_agent.create_protocol_state(16, voc.n_words, A)
+            st = multi_agent.create_protocol_state(16, voc.n_words, A,
+                                                   refresh_base=2)
             bow0 = vocabulary.bow_vector(
                 lv, idf, maps[a].kf_desc[0], maps[a].kf_feat_valid[0],
                 voc.branch, voc.n_words)
@@ -474,7 +480,8 @@ class TestSim3OnMesh:
         lv, idf = voc.device_arrays()
         sts = []
         for a in range(A):
-            st = multi_agent.create_protocol_state(16, voc.n_words, A)
+            st = multi_agent.create_protocol_state(16, voc.n_words, A,
+                                                   refresh_base=1000)
             bow0 = vocabulary.bow_vector(
                 lv, idf, maps[a].kf_desc[0], maps[a].kf_feat_valid[0],
                 voc.branch, voc.n_words)
@@ -508,6 +515,176 @@ class TestSim3OnMesh:
         n2 = np.asarray(maps2.n_kf)
         for a in range(A):
             assert n2[a] == n1[a] + A - 1
+
+    def test_refresh_cadence_is_aimd(self, mesh4):
+        """The Sim3 refresh cadence is AIMD (`orb_slam3_wrapper.cpp:
+        804-812` role): a converged refit doubles the interval, during the
+        backed-off window no refit runs (drift stays un-tracked), and the
+        next due refit that sees drift resets the interval to base."""
+        from dvm_slam_tpu.loopclosing import merge as merge_mod
+
+        rng = np.random.RandomState(8)
+        A = 4
+        fc = FrontendConfig(height=96, width=128, n_features=64, n_levels=2)
+        cfg = trk.TrackerConfig(frontend=fc, kf_cap=16, pt_cap=256, fps=10.0)
+        voc = _voc(rng)
+        pts = (rng.randn(60, 3) * 1.5 + [0, 0, 8]).astype(np.float32)
+        descs = (rng.rand(60, 256) > 0.5).astype(np.uint8)
+        maps, Ks = [], []
+        for a in range(A):
+            m, K = _agent_map(rng, pts, descs, F=fc.capacity)
+            maps.append(m)
+            Ks.append(K)
+        s1 = 1.3
+        S1 = jnp.asarray([1, 0, 0, 0, 0, 0, 0, s1], jnp.float32)
+        maps[1] = merge_mod.transform_map(maps[1], S1)
+
+        step = multi_agent.build_protocol_step(
+            mesh4, cfg, voc, window=1, refresh_every=2,
+            proj_min_matches=25, sim3_min_inliers=12)
+        stacked = multi_agent.stack_agents(maps)
+        lv, idf = voc.device_arrays()
+        sts = []
+        for a in range(A):
+            st = multi_agent.create_protocol_state(16, voc.n_words, A,
+                                                   refresh_base=2)
+            bow0 = vocabulary.bow_vector(
+                lv, idf, maps[a].kf_desc[0], maps[a].kf_feat_valid[0],
+                voc.branch, voc.n_words)
+            st = st._replace(db_bow=st.db_bow.at[0].set(bow0),
+                             db_valid=st.db_valid.at[0].set(True))
+            sts.append(st)
+        states = multi_agent.stack_agents(sts)
+        Kb = jnp.asarray(np.stack(Ks))
+        keys = jnp.asarray(rng.randint(0, 2 ** 31, (A, 2)), jnp.uint32)
+        slot1 = jnp.ones((A, 1), jnp.int32)
+
+        def run(mp, st, seq):
+            return step(mp, st, Kb, slot1,
+                        jnp.full((A, 1), seq, jnp.int32), keys)
+
+        # round 0: initial weld; the free-running timer is not reset
+        mp, st, _ = run(stacked, states, 0)
+        assert np.asarray(st.refresh_interval)[0, 1] == 2
+        s_weld = float(np.asarray(st.S_peer)[0, 1, 7])
+        assert abs(s_weld - 1.0 / s1) < 0.05
+
+        # round 1: due, refit sees NO new drift -> interval doubles to 4,
+        # next refresh at round 1 + 4 = 5
+        mp, st, _ = run(mp, st, 1)
+        assert np.asarray(st.refresh_interval)[0, 1] == 4, (
+            np.asarray(st.refresh_interval)[0])
+        assert np.asarray(st.next_refresh)[0, 1] == 5
+
+        # agent 1 drifts a further 1.15x; rounds 2-4 are inside the
+        # backed-off window -> no refit, S stays latched at the weld value
+        sd = 1.15
+        Sd = jnp.asarray([1, 0, 0, 0, 0, 0, 0, sd], jnp.float32)
+        m1d = merge_mod.transform_map(jax.tree.map(lambda x: x[1], mp), Sd)
+        mp = jax.tree.map(lambda full, one: full.at[1].set(one), mp, m1d)
+        for r, seq in ((2, 2), (3, 3), (4, 4)):
+            mp, st, _ = run(mp, st, seq)
+            s_now = float(np.asarray(st.S_peer)[0, 1, 7])
+            assert abs(s_now - s_weld) < 1e-6, f"round {r} refit ran early"
+
+        # round 5: due again -> refit tracks the drift and the DRIFTED
+        # refit resets the interval to base
+        mp, st, _ = run(mp, st, 5)
+        s_after = float(np.asarray(st.S_peer)[0, 1, 7])
+        assert abs(s_after - 1.0 / (s1 * sd)) < 0.05, s_after
+        assert np.asarray(st.refresh_interval)[0, 1] == 2
+
+    def test_post_merge_gba_restores_perturbed_map(self, mesh4):
+        """On-mesh post-merge GBA (`LoopClosing.cc:1796-1799` role): a
+        splice into a map whose points were perturbed triggers the bounded
+        full-map BA under lax.cond, pulling reprojection error back down;
+        with global_ba_after=False the error stays."""
+        rng = np.random.RandomState(9)
+        A = 4
+        fc = FrontendConfig(height=96, width=128, n_features=64, n_levels=2)
+        cfg = trk.TrackerConfig(frontend=fc, kf_cap=16, pt_cap=256, fps=10.0)
+        voc = _voc(rng)
+        pts = (rng.randn(60, 3) * 1.5 + [0, 0, 8]).astype(np.float32)
+        descs = (rng.rand(60, 256) > 0.5).astype(np.uint8)
+        maps, Ks = [], []
+        for a in range(A):
+            m, K = _agent_map(rng, pts, descs, F=fc.capacity)
+            maps.append(m)
+            Ks.append(K)
+        # perturb a THIRD of agent 0's points with gross noise: the Sim3
+        # verify still passes (the clean majority supplies its inliers;
+        # the perturbed ones are RANSAC outliers) while reprojection error
+        # becomes O(pixels). Two clean consistent observations per point
+        # mean a full-map BA can restore them.
+        noise = np.zeros(maps[0].pt_pos.shape, np.float32)
+        noise[:20] = rng.randn(20, 3) * 0.3
+        maps[0] = maps[0]._replace(pt_pos=maps[0].pt_pos + jnp.asarray(noise))
+
+        def reproj_err(m, a, K):
+            """Mean pixel reprojection error over agent a's map."""
+            nkf = int(np.asarray(m.n_kf[a]))
+            kf_pose = np.asarray(m.kf_pose[a])
+            obs = np.asarray(m.kf_obs[a])
+            xy = np.asarray(m.kf_xy[a])
+            fv = np.asarray(m.kf_feat_valid[a])
+            pv = np.asarray(m.pt_valid[a])
+            pos = np.asarray(m.pt_pos[a])
+            errs = []
+            for k in range(nkf):
+                sel = fv[k] & (obs[k] >= 0)
+                sel &= pv[np.clip(obs[k], 0, None)]
+                if not sel.any():
+                    continue
+                X = pos[obs[k][sel]]
+                T = jnp.asarray(kf_pose[k])
+                pc = np.asarray(jax.vmap(
+                    lambda x: lie.se3_apply(T, x))(jnp.asarray(X)))
+                u = K[0] * pc[:, 0] / pc[:, 2] + K[2]
+                v = K[1] * pc[:, 1] / pc[:, 2] + K[3]
+                errs.append(np.hypot(u - xy[k][sel, 0], v - xy[k][sel, 1]))
+            return float(np.concatenate(errs).mean())
+
+        def run(gba):
+            # weld BA / pose graph off in BOTH arms: at these tiny caps the
+            # welding window covers the whole map, which would mask what
+            # the GBA stage itself contributes
+            step = multi_agent.build_protocol_step(
+                mesh4, cfg, voc, window=1,
+                proj_min_matches=25, sim3_min_inliers=12,
+                weld_ba=False, pose_graph_after=False,
+                global_ba_after=gba, global_ba_iters=8)
+            stacked = multi_agent.stack_agents(maps)
+            lv, idf = voc.device_arrays()
+            sts = []
+            for a in range(A):
+                st = multi_agent.create_protocol_state(16, voc.n_words, A)
+                bow0 = vocabulary.bow_vector(
+                    lv, idf, maps[a].kf_desc[0], maps[a].kf_feat_valid[0],
+                    voc.branch, voc.n_words)
+                st = st._replace(db_bow=st.db_bow.at[0].set(bow0),
+                                 db_valid=st.db_valid.at[0].set(True))
+                sts.append(st)
+            states = multi_agent.stack_agents(sts)
+            Kb = jnp.asarray(np.stack(Ks))
+            keys = jnp.asarray(rng.randint(0, 2 ** 31, (A, 2)), jnp.uint32)
+            mp, st, M = step(stacked, states, Kb,
+                             jnp.ones((A, 1), jnp.int32),
+                             jnp.zeros((A, 1), jnp.int32), keys)
+            assert np.asarray(M)[0, 1], "agents failed to merge"
+            assert int(np.asarray(mp.n_kf[0])) > int(np.asarray(
+                stacked.n_kf[0])), "no splice happened"
+            return reproj_err(mp, 0, Ks[0])
+
+        err_before = reproj_err(multi_agent.stack_agents(maps), 0, Ks[0])
+        err_off = run(gba=False)
+        err_on = run(gba=True)
+        assert err_before > 0.8, f"perturbation too small: {err_before}"
+        # without GBA the splice leaves the perturbation in place (the
+        # spliced keyframes' clean observations dilute the mean, so the
+        # bound is loose — the point is it stays O(err_before), not ~0)
+        assert err_off > 0.3 * err_before, (err_off, err_before)
+        # the on-mesh GBA pulls it down
+        assert err_on < 0.4 * err_off, (err_on, err_off)
 
 
 @pytest.mark.slow
