@@ -8,10 +8,17 @@ Measures, on the real chip:
 Prints one JSON line per experiment.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# NOTE: self-insert like the other benchmark scripts rather than asking the
+# caller for PYTHONPATH=/root/repo — overriding PYTHONPATH drops the
+# preexisting /root/.axon_site entry the TPU plugin needs to register
+# ("axon is not a known backend" otherwise).
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -258,8 +258,13 @@ class SlamAgent:
 
         Batched: one padded device call per frame instead of a per-slot
         loop — at 512-KF caps x 8 agents the per-slot dispatch dominated
-        the protocol loop. Pads are >=8 powers of two so the common case
-        reuses one cached trace."""
+        the protocol loop. Pads are exact powers of two: the steady-state
+        case is ONE new keyframe per retire, and a floor-8 pad (round 3/4)
+        multiplied the per-retire device work — 8 Sim3-RANSAC verifies
+        where 1 is needed — which throttled the whole autonomous lane to
+        ~half its standalone throughput (the verdict work rides the same
+        device stream as tracking). Distinct pads {1,2,4,8,...} each
+        compile once; warmup covers 1 and the flush shapes."""
         self._poll_protocol()
         # only slots whose host metadata has retired: in autonomous mode the
         # device KF counter runs ahead of uuid/creator assignment, and a
@@ -274,7 +279,7 @@ class SlamAgent:
         if not new_slots:
             return
         k = len(new_slots)
-        pad = max(8, 1 << (k - 1).bit_length())
+        pad = 1 << (k - 1).bit_length() if k > 1 else 1
         idx = jnp.asarray(new_slots + [new_slots[-1]] * (pad - k), jnp.int32)
         bows = _bow_batch(
             self.voc_levels, self.voc_idf,
@@ -292,7 +297,7 @@ class SlamAgent:
         keys_s, vals_s = _bow_sparse(bows, min(_BOW_NZ, self.voc.n_words))
         covis = map_state.covisibility(self.map)
         o = len(own)
-        o_pad = max(8, 1 << (o - 1).bit_length())
+        o_pad = 1 << (o - 1).bit_length() if o > 1 else 1
         own_rows = [i for i, _ in own] + [own[-1][0]] * (o_pad - o)
         own_slots = [s for _, s in own] + [own[-1][1]] * (o_pad - o)
         self.key, sub = jax.random.split(self.key)
