@@ -792,7 +792,8 @@ class LocalMapper:
             )
             tracker.map = m
             m = self._vi_local_ba(tracker, slot)
-            m = map_state.update_point_stats(m, fc.n_levels, fc.scale_factor)
+            m = map_state.update_point_stats(m, fc.n_levels, fc.scale_factor,
+                                             with_desc=False)
         else:
             bf = (float(tracker.K[0]) * tracker.config.baseline
                   if tracker.config.depth_sensor else None)
@@ -861,7 +862,10 @@ def _mapper_step(m, c, K, n_neighbors: int, n_levels: int,
         m, _ = local_ba(m, c, K, n_local=ba_local, n_fixed=ba_fixed,
                         n_pts=ba_pts, iters=ba_iters, n_levels=n_levels,
                         scale_factor=scale_factor, bf=bf)
-        m = map_state.update_point_stats(m, n_levels, scale_factor)
+        # BA moved geometry but not observations: descriptor votes are
+        # unchanged, so the post-BA refresh skips the [K,P,256] vote pass
+        m = map_state.update_point_stats(m, n_levels, scale_factor,
+                                         with_desc=False)
     return m
 
 
@@ -883,6 +887,9 @@ def _mapper_chain(m, c, K, *, n_neighbors: int, n_levels: int,
         mm, _ = local_ba(mm, c, K, n_local=ba_local, n_fixed=ba_fixed,
                          n_pts=ba_pts, iters=ba_iters, n_levels=n_levels,
                          scale_factor=scale_factor, bf=bf)
-        return map_state.update_point_stats(mm, n_levels, scale_factor)
+        # geometry-only refresh: BA does not change observations (see
+        # _mapper_step) — the desc vote is the expensive half of the pass
+        return map_state.update_point_stats(mm, n_levels, scale_factor,
+                                            with_desc=False)
 
     return jax.lax.cond(run_ba_traced, ba_branch, lambda mm: mm, m)

@@ -329,8 +329,9 @@ def predict_scale(dist, max_dist, n_levels: int, scale_factor: float):
     return jnp.clip(lv, 0, n_levels - 1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("n_levels", "scale_factor"))
-def update_point_stats(m: MapState, n_levels: int, scale_factor: float):
+@partial(jax.jit, static_argnames=("n_levels", "scale_factor", "with_desc"))
+def update_point_stats(m: MapState, n_levels: int, scale_factor: float,
+                       with_desc: bool = True):
     """Recompute normals, distance ranges and representative descriptors for
     all valid points in one batched pass (`MapPoint::UpdateNormalAndDepth` +
     `ComputeDistinctiveDescriptors`, `MapPoint.cc`).
@@ -339,6 +340,14 @@ def update_point_stats(m: MapState, n_levels: int, scale_factor: float):
     keyframes' descriptors (majority vote per bit). This differs from the
     reference's min-median-distance pick but preserves the contract (a
     descriptor near the cluster center) and is a single matmul.
+
+    `with_desc=False` refreshes geometry only (normals + distance ranges):
+    the post-BA refresh needs it because BA moves points and poses, but the
+    observation set — what the descriptor vote depends on — is unchanged by
+    BA, and the [K,P,256] descriptor gather+vote is the expensive half of
+    this pass (the reference mirrors this: `UpdateNormalAndDepth` is called
+    after pose/point updates, `ComputeDistinctiveDescriptors` only when
+    observations change, `Optimizer.cc` vs `MapPoint.cc` call sites).
     """
     from ..geometry import lie
 
@@ -364,6 +373,15 @@ def update_point_stats(m: MapState, n_levels: int, scale_factor: float):
     max_d = ref_dist * sf
     min_d = max_d / (scale_factor ** (n_levels - 1))
 
+    keep = m.pt_valid
+    out = m._replace(
+        pt_normal=jnp.where(keep[:, None], normal, m.pt_normal),
+        pt_max_dist=jnp.where(keep, max_d, m.pt_max_dist),
+        pt_min_dist=jnp.where(keep, min_d, m.pt_min_dist),
+    )
+    if not with_desc:
+        return out
+
     # majority-vote descriptor over observers: gather per-KF descriptor of the
     # feature observing each point
     # desc_of_obs[k,p] = kf_desc[k, feat observing p] if M[k,p]
@@ -378,13 +396,11 @@ def update_point_stats(m: MapState, n_levels: int, scale_factor: float):
     dsel = jnp.take_along_axis(
         m.kf_desc, feat_of[:, :, None].clip(0, F - 1), axis=1
     )  # [K,P,256]
-    votes = jnp.einsum("kp,kpb->pb", M.astype(jnp.float32), dsel.astype(jnp.float32))
+    # bf16 mask-and-reduce with f32 accumulation: every value is a small
+    # integer (bits 0/1, counts <= K <= 256 exact in bf16's 8-bit mantissa),
+    # so the vote is bit-exact at half the HBM traffic of f32
+    votes = jnp.einsum("kp,kpb->pb", M.astype(jnp.bfloat16),
+                       dsel.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
     desc = (votes * 2 > counts[:, None].astype(jnp.float32)).astype(jnp.uint8)
-
-    keep = m.pt_valid
-    return m._replace(
-        pt_normal=jnp.where(keep[:, None], normal, m.pt_normal),
-        pt_max_dist=jnp.where(keep, max_d, m.pt_max_dist),
-        pt_min_dist=jnp.where(keep, min_d, m.pt_min_dist),
-        pt_desc=jnp.where(keep[:, None], desc, m.pt_desc),
-    )
+    return out._replace(pt_desc=jnp.where(keep[:, None], desc, m.pt_desc))
