@@ -427,7 +427,8 @@ def main():
     if "device_probe" in _PARTIAL:
         out["device_probe"] = _PARTIAL["device_probe"]
     for k_, v_ in _PARTIAL.items():
-        if k_.startswith("ate_") or k_ == "e2e_frame_ms_max":
+        if (k_.startswith("ate_") or k_.startswith("e2e_agent_")
+                or k_ == "e2e_frame_ms_max"):
             out[k_] = v_
     if ba_solve_ms:
         out["ba_solve_ms"] = round(ba_solve_ms, 2)

@@ -65,6 +65,10 @@ def main():
     warm_u8_s = time.perf_counter() - t0
 
     # ---- timed steady state, per-stage ----
+    # AGENT_PROFILE_TRACE=1 additionally times every run_once sub-call and
+    # prints the breakdown of any frame slower than 0.5 s — the attribution
+    # tool for rare mid-run stalls (compile? readback? device sync?)
+    trace = os.environ.get("AGENT_PROFILE_TRACE") == "1"
     trk_ms, proto_ms, total_ms = [], [], []
     n = len(imgs_u8) - 4
     t_all0 = time.perf_counter()
@@ -73,11 +77,34 @@ def main():
         f0 = time.perf_counter()
         ag.tracker.process_image(img, ts)
         f1 = time.perf_counter()
-        ag.run_once(ts)
+        if trace:
+            sub = {}
+            for name in ("_poll_gba", "_update_bow_db", "_drain_channels",
+                         "_update_is_lost", "_send_new_key_frame_bows",
+                         "_send_new_key_frames"):
+                s0 = time.perf_counter()
+                if name in ("_drain_channels",):
+                    getattr(ag, name)(ts)
+                else:
+                    getattr(ag, name)()
+                sub[name] = (time.perf_counter() - s0) * 1e3
+            if ts >= ag._next_scale_ts:
+                s0 = time.perf_counter()
+                ag._update_map_scale(ts)
+                sub["_update_map_scale"] = (time.perf_counter() - s0) * 1e3
+        else:
+            ag.run_once(ts)
         f2 = time.perf_counter()
         trk_ms.append((f1 - f0) * 1e3)
         proto_ms.append((f2 - f1) * 1e3)
         total_ms.append((f2 - f0) * 1e3)
+        if (f2 - f0) > 0.5:
+            line = {"slow_frame": i, "trk_ms": round(trk_ms[-1], 1),
+                    "proto_ms": round(proto_ms[-1], 1),
+                    "n_kf_host": ag.tracker.n_kf_host}
+            if trace:
+                line.update({k: round(v, 1) for k, v in sub.items()})
+            print(json.dumps(line), flush=True)
     fps_nodrain = n / (time.perf_counter() - t_all0)
     t_d0 = time.perf_counter()
     ag.flush()

@@ -28,6 +28,7 @@ Protocol behavior reproduced (constants `orb_slam3_wrapper.cpp:36-38`):
 from __future__ import annotations
 
 import time
+from functools import partial
 
 import numpy as np
 import jax
@@ -49,12 +50,6 @@ MIN_KEY_FRAMES_FOR_MERGE = 12      # :466,551
 CULLING_WINDOW = 3                 # :243 (maxId - 3)
 SCALE_ALIGN_BASE_INTERVAL = 5.0    # 5 s wall timer, :123
 
-# batched BoW transform: vmap over keyframes, one call per protocol tick
-_bow_batch = jax.jit(
-    jax.vmap(vocabulary.bow_vector, in_axes=(None, None, 0, 0, None, None)),
-    static_argnums=(4, 5),
-)
-
 # sparse advertisement entries per keyframe, compacted ON DEVICE: a dense
 # [pad, W] readback is ~320 KB over the tunnel per batch; top-k is ~8 KB.
 # 1024 >= the feature budget, so compaction is exact (each feature votes
@@ -66,7 +61,33 @@ def _bow_sparse_impl(bows, nz: int):
     return keys.astype(jnp.int32), vals
 
 
-_bow_sparse = jax.jit(_bow_sparse_impl, static_argnums=(1,))
+@partial(jax.jit, static_argnames=("branch", "n_words", "nz", "with_scale"))
+def _protocol_chunk(levels, idf, m, db, key, idx, own_rows, own_slots, K,
+                    branch: int, n_words: int, nz: int, with_scale: bool):
+    """The whole per-retire protocol computation as ONE dispatch: BoW
+    transform of the chunk's keyframes, database registration, sparse
+    advertisement compaction, covisibility, and the loop-detection verdicts.
+
+    Fusing matters on top of what XLA fuses: dispatched separately, each
+    call's argument upload pays the tunnel relay's round-trip latency
+    (~140 ms once the relay enters readback mode), so a keyframe retire
+    cost ~700 ms of host blocking across 5 calls (measured,
+    benchmarks/agent_profile.py AGENT_PROFILE_TRACE=1). One dispatch pays
+    it once, and on local hardware removes 4 dispatch overheads."""
+    from ..loopclosing.loop_detector import detect_verdict_batch
+
+    bows = jax.vmap(
+        vocabulary.bow_vector, in_axes=(None, None, 0, 0, None, None)
+    )(levels, idf, m.kf_desc[idx], m.kf_feat_valid[idx], branch, n_words)
+    db2 = database.add_many(db, idx, bows)
+    keys_s, vals_s = _bow_sparse_impl(bows, nz)
+    covis = map_state.covisibility(m)
+    all_keys = jax.random.split(key, idx.shape[0] + 1)
+    rows = detect_verdict_batch(
+        all_keys[1:], m, db2, covis, bows[own_rows], own_slots, K,
+        with_scale=with_scale,
+    )
+    return db2, all_keys[0], keys_s, vals_s, rows
 
 
 def _dev_ready(a):
@@ -86,7 +107,8 @@ class SlamAgent:
                  post_merge_global_ba: bool = True,
                  autonomous: bool = True, auto_batch: int = 4,
                  async_depth: int = 8,
-                 loop_correction: bool = False):
+                 loop_correction: bool = False,
+                 proto_pad: int = 2):
         # post-merge optimization stages of `LoopClosing::MergeLocal` —
         # default ON to match the reference, which always runs the welding
         # BA *plus* essential-graph optimization *plus* a GBA thread on
@@ -99,6 +121,10 @@ class SlamAgent:
         # graph correction on a confirmed trigger; benchmarks/long_ate.py
         # measures what the disabled path costs (VERDICT r3 item 7).
         self.loop_correction = loop_correction
+        # fixed chunk shape of the per-retire protocol dispatch — ONE
+        # compiled program for BoW registration + loop verdicts regardless
+        # of how many keyframes retire at once (see _update_bow_db)
+        self.proto_pad = max(1, int(proto_pad))
         self.agent_id = agent_id
         self.config = config
         self.voc = voc
@@ -258,13 +284,17 @@ class SlamAgent:
 
         Batched: one padded device call per frame instead of a per-slot
         loop — at 512-KF caps x 8 agents the per-slot dispatch dominated
-        the protocol loop. Pads are exact powers of two: the steady-state
-        case is ONE new keyframe per retire, and a floor-8 pad (round 3/4)
-        multiplied the per-retire device work — 8 Sim3-RANSAC verifies
-        where 1 is needed — which throttled the whole autonomous lane to
-        ~half its standalone throughput (the verdict work rides the same
-        device stream as tracking). Distinct pads {1,2,4,8,...} each
-        compile once; warmup covers 1 and the flush shapes."""
+        the protocol loop. The pad is ONE fixed chunk shape (`proto_pad`,
+        default 2), bursts run multiple chunks: round 3/4's floor-8 pad
+        made the steady one-new-KF retire pay 8 Sim3-RANSAC verifies on
+        the tracking stream, and round 5's first fix (exact pow2 pads)
+        was worse — every first-seen shape {1,2,4,8} cost a fresh XLA
+        compile MID-RUN (measured 10.7 s worst frame,
+        benchmarks/agent_profile.py). One fixed shape compiles once at
+        warmup; the steady case pays a 2x verify pad and flush bursts
+        pay ceil(k/2) cheap extra dispatches. Each chunk is ONE fused
+        device call (`_protocol_chunk`) — separate calls each paid the
+        tunnel relay round-trip, ~700 ms/retire total."""
         self._poll_protocol()
         # only slots whose host metadata has retired: in autonomous mode the
         # device KF counter runs ahead of uuid/creator assignment, and a
@@ -278,41 +308,40 @@ class SlamAgent:
                      if s not in self._db_slots and valid[s]]
         if not new_slots:
             return
-        k = len(new_slots)
-        pad = 1 << (k - 1).bit_length() if k > 1 else 1
-        idx = jnp.asarray(new_slots + [new_slots[-1]] * (pad - k), jnp.int32)
-        bows = _bow_batch(
-            self.voc_levels, self.voc_idf,
-            self.map.kf_desc[idx], self.map.kf_feat_valid[idx],
-            self.voc.branch, self.voc.n_words,
-        )
-        self.db = database.add_many(self.db, idx, bows)
-        self._db_slots.update(new_slots)
-        own = [(i, s) for i, s in enumerate(new_slots)
-               if self.meta.kf_creator[s] == self.agent_id]
-        if not own:
-            return
-        from ..loopclosing.loop_detector import detect_verdict_batch
-
-        keys_s, vals_s = _bow_sparse(bows, min(_BOW_NZ, self.voc.n_words))
-        covis = map_state.covisibility(self.map)
-        o = len(own)
-        o_pad = 1 << (o - 1).bit_length() if o > 1 else 1
-        own_rows = [i for i, _ in own] + [own[-1][0]] * (o_pad - o)
-        own_slots = [s for _, s in own] + [own[-1][1]] * (o_pad - o)
-        self.key, sub = jax.random.split(self.key)
-        rows = detect_verdict_batch(
-            jax.random.split(sub, o_pad), self.map, self.db, covis,
-            bows[jnp.asarray(own_rows, jnp.int32)],
-            jnp.asarray(own_slots, jnp.int32), self.tracker.K,
-            with_scale=not self.loop_detector.fix_scale,
-        )
-        for a in (keys_s, vals_s, rows):
-            a.copy_to_host_async()
-        self._pending_protocol.append({
-            "own": own, "keys": keys_s, "vals": vals_s, "rows": rows,
-            "epoch": self.tracker.map_epoch,
-        })
+        P = self.proto_pad
+        for c0 in range(0, len(new_slots), P):
+            chunk = new_slots[c0:c0 + P]
+            k = len(chunk)
+            # duplicate padded slots are harmless: add_many is a scatter-set
+            idx = np.asarray(chunk + [chunk[-1]] * (P - k), np.int32)
+            own = [(i, s) for i, s in enumerate(chunk)
+                   if self.meta.kf_creator[s] == self.agent_id]
+            if own:
+                own_rows = np.asarray(
+                    [i for i, _ in own] + [own[-1][0]] * (P - len(own)),
+                    np.int32)
+                own_slots = np.asarray(
+                    [s for _, s in own] + [own[-1][1]] * (P - len(own)),
+                    np.int32)
+            else:  # verdicts discarded; keeps the single compiled shape
+                own_rows = np.zeros(P, np.int32)
+                own_slots = idx
+            self.db, self.key, keys_s, vals_s, rows = _protocol_chunk(
+                self.voc_levels, self.voc_idf, self.map, self.db, self.key,
+                idx, own_rows, own_slots, self.tracker.K,
+                branch=self.voc.branch, n_words=self.voc.n_words,
+                nz=min(_BOW_NZ, self.voc.n_words),
+                with_scale=not self.loop_detector.fix_scale,
+            )
+            self._db_slots.update(chunk)
+            if not own:
+                continue
+            for a in (keys_s, vals_s, rows):
+                a.copy_to_host_async()
+            self._pending_protocol.append({
+                "own": own, "keys": keys_s, "vals": vals_s, "rows": rows,
+                "epoch": self.tracker.map_epoch,
+            })
 
     def _poll_protocol(self, block: bool = False):
         """Fold completed protocol records (sparse BoWs for advertisement +
